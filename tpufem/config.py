@@ -1,0 +1,89 @@
+"""Typed configuration for tpufem.
+
+Mirrors the reference's two-namespace flag scheme: double-hyphen app
+options (reference: src/main.cpp:54-74, boost::program_options) and a
+pass-through solver-options namespace (reference: src/main.cpp:77-81,
+PETSc options DB with ``allow_unregistered`` + ``-options_left`` audit).
+Here both are typed dataclasses; unknown solver keys are accepted and
+audited with a warn-on-unused report (the `-options_left` analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, List, Optional
+
+logger = logging.getLogger("tpufem")
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    """Solver-options namespace.
+
+    Mirrors the recommended PETSc knobs from the reference README
+    (README.md:66-146): CG + rtol, AMG controls (GAMG/BoomerAMG
+    equivalents of the from-scratch SA-AMG), Chebyshev/Jacobi smoothers.
+    """
+
+    ksp_type: str = "cg"                 # "cg" (only Krylov method the reference uses)
+    ksp_rtol: float = 1.0e-8             # README.md:72 -ksp_rtol 1.0e-8
+    ksp_max_it: int = 500
+    pc_type: str = "amg"                 # "amg" | "jacobi" | "none"
+    # SA-AMG controls (functional equivalent of GAMG/BoomerAMG knobs)
+    amg_coarse_eq_limit: int = 1000      # README.md:77 -pc_gamg_coarse_eq_limit 1000
+    amg_strength_threshold: float = 0.0  # SA strength-of-connection drop tolerance
+    amg_max_levels: int = 12
+    amg_smoother: str = "chebyshev"      # README.md:78 -mg_levels_ksp_type chebyshev
+    amg_smoother_degree: int = 2
+    amg_jacobi_omega: float = 0.6667
+    amg_prolongator_damping: float = 1.3333  # omega/rho(D^-1 A) Jacobi smoothing of P
+    # extras (audited if unused)
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    _consumed: set = dataclasses.field(default_factory=set, repr=False)
+
+    def get(self, key: str, default: Any = None) -> Any:
+        self._consumed.add(key)
+        if hasattr(self, key):
+            return getattr(self, key)
+        return self.extra.get(key, default)
+
+    def options_left(self) -> List[str]:
+        """Unconsumed extra options — the `-options_left` audit
+        (reference: README.md:81)."""
+        return [k for k in self.extra if k not in self._consumed]
+
+    def warn_options_left(self) -> None:
+        for k in self.options_left():
+            logger.warning("Option left: unused solver option '%s'", k)
+
+
+@dataclasses.dataclass
+class Config:
+    """Application options (reference: src/main.cpp:57-74)."""
+
+    problem_type: str = "poisson"        # poisson | cgpoisson | elasticity
+    mesh_type: str = "cube"              # cube | unstructured
+    scaling_type: str = "weak"           # weak | strong
+    ndofs: int = 50000
+    order: int = 1
+    scatterer: str = "neighbor"          # neighbor | p2p (ppermute schedule variant)
+    output: str = ""                     # output directory ("" = no output)
+    memory_profiling: bool = False
+    subcomm_partition: bool = False      # per-host setup analogue; accepted for parity
+    # TPU-specific knobs (no reference analogue)
+    dtype: str = "float32"               # float32 | float64 | mixed
+    num_shards: int = 0                  # 0 = all visible devices
+    solver: SolverOptions = dataclasses.field(default_factory=SolverOptions)
+
+    def __post_init__(self) -> None:
+        if self.scaling_type not in ("weak", "strong"):
+            # reference: src/main.cpp:115 throws on unknown scaling type
+            raise ValueError(f"Scaling type '{self.scaling_type}' unknown")
+        if self.problem_type not in ("poisson", "cgpoisson", "elasticity"):
+            raise ValueError(f"Unknown problem type: {self.problem_type}")
+
+    @property
+    def dofs_per_node(self) -> int:
+        # reference: src/main.cpp:128
+        return 3 if self.problem_type == "elasticity" else 1

@@ -1,0 +1,158 @@
+"""Generic tetrahedral topology from explicit (vertices, cells) arrays.
+
+Equivalent of ``dolfinx::mesh::Topology::create_entities`` /
+``create_connectivity`` (reference call sites: src/main.cpp:147-148,
+src/mesh.cpp:198,370): entities are derived by sorted-unique over
+per-cell entity keys.  Used for the unstructured "spoke" mesh path
+(reference: src/mesh.cpp:209-453); the structured box path uses the
+closed-form numbering in tpufem.mesh.structured instead.
+
+Shares the duck-typed mesh interface consumed by tpufem.fem.space:
+  num_{vertices,edges,faces,cells}_global, cells(), cell_coords(),
+  cell_edges(), cell_faces(), face_vertices(), face_edges(),
+  edge_midpoints(), face_centroids(), locate_boundary_facets().
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import numpy as np
+
+from tpufem.mesh.structured import LOCAL_EDGES, LOCAL_FACES
+
+
+class TetTopology:
+    """Unstructured conforming tetrahedral mesh (single-shard, host-side)."""
+
+    def __init__(self, vertices: np.ndarray, cells: np.ndarray) -> None:
+        self.vertices = np.asarray(vertices, dtype=np.float64)
+        self._cells = np.ascontiguousarray(cells, dtype=np.int64)
+        if self._cells.ndim != 2 or self._cells.shape[1] != 4:
+            raise ValueError("cells must be [nc, 4]")
+        self._orient_cells()
+        self._build_edges()
+        self._build_faces()
+
+    # -- construction --------------------------------------------------------
+    def _orient_cells(self) -> None:
+        """Flip vertex order so every cell has positive Jacobian."""
+        x = self.vertices[self._cells]  # [C, 4, 3]
+        J = x[:, 1:4, :] - x[:, 0:1, :]
+        det = np.linalg.det(J)
+        neg = det < 0
+        if neg.any():
+            c = self._cells.copy()
+            c[neg, 2], c[neg, 3] = self._cells[neg, 3], self._cells[neg, 2]
+            self._cells = c
+
+    def _build_edges(self) -> None:
+        pairs = self._cells[:, LOCAL_EDGES]  # [C, 6, 2]
+        lo = pairs.min(axis=-1)
+        hi = pairs.max(axis=-1)
+        key = lo.astype(np.int64) * self.vertices.shape[0] + hi
+        uniq, inv = np.unique(key.ravel(), return_inverse=True)
+        self._edge_verts = np.stack([uniq // self.vertices.shape[0],
+                                     uniq % self.vertices.shape[0]], axis=-1)
+        self._cell_edges = inv.reshape(-1, 6)
+        self._cell_edge_flipped = pairs[..., 0] > pairs[..., 1]
+
+    def _build_faces(self) -> None:
+        tris = np.sort(self._cells[:, LOCAL_FACES], axis=-1)  # [C, 4, 3]
+        flat = tris.reshape(-1, 3)
+        uniq, inv, counts = np.unique(flat, axis=0, return_inverse=True,
+                                      return_counts=True)
+        self._face_verts = uniq
+        self._cell_faces = inv.reshape(-1, 4)
+        # facet -> cell connectivity (each face touches 1 or 2 cells)
+        order = np.argsort(inv, kind="stable")
+        cell_of = order // 4
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        f2c = np.full((uniq.shape[0], 2), -1, dtype=np.int64)
+        f2c[:, 0] = cell_of[starts[:-1]]
+        two = counts == 2
+        f2c[two, 1] = cell_of[starts[:-1][two] + 1]
+        self._face_cells = f2c
+        self._boundary_faces = np.nonzero(counts == 1)[0]
+
+    # -- interface ------------------------------------------------------------
+    @property
+    def num_vertices_global(self) -> int:
+        return self.vertices.shape[0]
+
+    @property
+    def num_edges_global(self) -> int:
+        return self._edge_verts.shape[0]
+
+    @property
+    def num_faces_global(self) -> int:
+        return self._face_verts.shape[0]
+
+    @property
+    def num_cells_global(self) -> int:
+        return self._cells.shape[0]
+
+    @property
+    def num_cells_local(self) -> int:
+        return self._cells.shape[0]
+
+    def cell_offset(self) -> int:
+        return 0
+
+    def cells(self) -> np.ndarray:
+        return self._cells
+
+    def cell_coords(self) -> np.ndarray:
+        return self.vertices[self._cells]
+
+    def cell_edges(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self._cell_edges, self._cell_edge_flipped
+
+    def cell_faces(self) -> np.ndarray:
+        return self._cell_faces
+
+    def face_vertices(self, gids: np.ndarray) -> np.ndarray:
+        return self._face_verts[np.asarray(gids, dtype=np.int64)]
+
+    def edge_vertices(self, gids: np.ndarray) -> np.ndarray:
+        return self._edge_verts[np.asarray(gids, dtype=np.int64)]
+
+    def face_edges(self, gids: np.ndarray) -> np.ndarray:
+        """[n, 3] edge gids of faces (pairs (0,1), (0,2), (1,2) of the
+        sorted face-vertex triple)."""
+        fv = self.face_vertices(gids)
+        nv = self.vertices.shape[0]
+        keys = np.stack([
+            fv[:, 0] * nv + fv[:, 1],
+            fv[:, 0] * nv + fv[:, 2],
+            fv[:, 1] * nv + fv[:, 2],
+        ], axis=-1)
+        ekeys = self._edge_verts[:, 0] * nv + self._edge_verts[:, 1]
+        order = np.argsort(ekeys)
+        pos = np.searchsorted(ekeys[order], keys)
+        return order[pos]
+
+    def face_cells(self, gids: np.ndarray) -> np.ndarray:
+        return self._face_cells[np.asarray(gids, dtype=np.int64)]
+
+    def vertex_coords(self, gids: np.ndarray) -> np.ndarray:
+        return self.vertices[np.asarray(gids, dtype=np.int64)]
+
+    def edge_midpoints(self, gids: np.ndarray) -> np.ndarray:
+        ev = self.edge_vertices(gids)
+        return 0.5 * (self.vertices[ev[:, 0]] + self.vertices[ev[:, 1]])
+
+    def face_centroids(self, gids: np.ndarray) -> np.ndarray:
+        fv = self.face_vertices(gids)
+        return self.vertices[fv].mean(axis=1)
+
+    def boundary_faces(self) -> np.ndarray:
+        return self._boundary_faces
+
+    def locate_boundary_facets(self, marker: Callable[[np.ndarray], np.ndarray]) -> np.ndarray:
+        """Boundary facets whose every vertex satisfies ``marker``
+        (reference: mesh::locate_entities, src/poisson_problem.cpp:58-71)."""
+        faces = self._boundary_faces
+        verts = self.face_vertices(faces)
+        ok = marker(self.vertices[verts.reshape(-1)]).reshape(-1, 3).all(axis=1)
+        return faces[ok]
