@@ -1,0 +1,105 @@
+"""Matrix-free CG Poisson problem (the performance-critical custom path).
+
+Rebuild of ``cgpoisson::problem`` (reference: src/cgpoisson_problem.cpp):
+no assembled matrix — the operator action is the UFL form
+M = action(a, un) (src/Poisson.py:33).  The reference re-packs
+coefficients and re-assembles the action form in every CG iteration
+(cgpoisson_problem.cpp:193-230, with explicit pack -> MPI scatter ->
+unpack ghost exchange); the TPU-native design precomputes the per-cell
+metric once and runs the whole CG loop in one jitted ``lax.while_loop``,
+gather -> two MXU matmuls + metric contraction -> sorted segment-sum.
+
+Reports the reference's throughput metric:
+Gdof/s = iterations * global_dofs / solve_seconds / 1e9
+(cgpoisson_problem.cpp:236-242); CG kmax=100, rtol=1e-6.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.config import Config
+from tpufem.fem import kernels
+from tpufem.fem.assemble import DofScatter
+from tpufem.fem.dirichlet import DirichletBC
+from tpufem.fem.space import FunctionSpace
+from tpufem.la.cg import cg_solve
+from tpufem.problems import common
+from tpufem.problems.poisson import assemble_poisson_rhs
+from tpufem.timing import Timer
+
+
+def make_action(space: FunctionSpace, bc: DirichletBC, scatter: DofScatter,
+                dtype):
+    """Jit-friendly y = A @ x closure (BC rows zeroed, matching
+    bc->set(y, 0) at cgpoisson_problem.cpp:207)."""
+    coords = jnp.asarray(space.mesh.cell_coords(), dtype=jnp.float64)
+    G = kernels.metric_tensors(coords, dtype=jnp.float64).astype(dtype)
+    cd = jnp.asarray(space.cell_dofs.astype(np.int32))
+    bc_flat = jnp.asarray(bc.flat_dofs().astype(np.int32))
+    order = space.order
+
+    def action(x: jnp.ndarray) -> jnp.ndarray:
+        u_cells = x[cd]
+        y_cells = kernels.poisson_action_from_metric(G, u_cells, order)
+        y = scatter.scatter_add(y_cells)
+        return y.at[bc_flat].set(0.0)
+
+    return action
+
+
+def problem(mesh, order: int, cfg: Config) -> common.Problem:
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with Timer("ZZZ FunctionSpace"):
+        space = FunctionSpace(mesh, order)
+        _ = space.cell_dofs
+
+    with Timer("ZZZ Create boundary conditions"):
+        facets = mesh.locate_boundary_facets(common.poisson_bc_marker)
+        bc = DirichletBC.from_space(space, facets)
+
+    with Timer("ZZZ Create RHS function"):
+        scatter = DofScatter(space.cell_dofs, space.ndofs_scalar)
+
+    with Timer("ZZZ Assemble vector"):
+        b = assemble_poisson_rhs(space, scatter, dtype)
+        # matrix-free lifting: un = -u0 on BC dofs, assemble M into b
+        # (cgpoisson_problem.cpp:159-162); u0 = 0 so it vanishes here.
+        # BC dofs of b zeroed (zeroes the columns of A;
+        # cgpoisson_problem.cpp:168)
+        b = jnp.asarray(bc.set(b, 0.0))
+        b.block_until_ready()
+
+    u = jnp.zeros(space.ndofs, dtype=dtype)
+    action = make_action(space, bc, scatter, dtype)
+    solver = cfg.solver
+    rtol = float(solver.extra.get("cg_rtol", 1e-6))
+    kmax = int(solver.extra.get("cg_kmax", 100))
+    solver._consumed.update(("cg_rtol", "cg_kmax"))
+
+    run = jax.jit(lambda x0, rhs: cg_solve(action, rhs, x0=x0,
+                                           rtol=rtol, maxit=kmax))
+
+    def solver_function(u0: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+        # warm-up compile outside the timed region (the reference's C++
+        # kernels are AOT-compiled; timing XLA compilation would not be
+        # an apples-to-apples solve time)
+        jax.block_until_ready(run(u0, rhs))
+        t0 = time.perf_counter()
+        x, it, rel = run(u0, rhs)
+        jax.block_until_ready(x)
+        dt = time.perf_counter() - t0
+        gdofs = int(it) * space.ndofs / dt / 1e9
+        print(f"CG matrix-free action processed: {gdofs} Gdof/s", flush=True)
+        problem._last_gdofs = gdofs
+        problem._last_solve_s = dt
+        return x, int(it)
+
+    return common.Problem(b=b, u=u, solver_function=solver_function,
+                          space=space, bc=bc)

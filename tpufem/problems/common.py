@@ -1,0 +1,75 @@
+"""Shared problem-construction helpers."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Problem:
+    """What a problem constructor returns — the analogue of the reference's
+    ``{b, u, solver_function}`` tuple (src/poisson_problem.h:19-23)."""
+
+    b: jnp.ndarray
+    u: jnp.ndarray
+    solver_function: Callable[[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, int]]
+    space: object
+    bc: object
+    operator = None  # assembled ELLMatrix when applicable
+
+
+def facet_to_cell(cell_faces: np.ndarray, facets: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(cell index, local face index) of each (boundary) facet.
+
+    The facet->cell connectivity of the reference
+    (``create_connectivity(2, 3)``, src/main.cpp:148).  Boundary facets
+    belong to exactly one cell, so any match is the owner.
+    """
+    flat = cell_faces.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    pos = np.searchsorted(flat[order], facets)
+    hit = order[pos]
+    if not np.array_equal(flat[hit], facets):
+        raise ValueError("facet not found in cell_faces")
+    return hit // cell_faces.shape[1], hit % cell_faces.shape[1]
+
+
+def poisson_f(x: np.ndarray) -> np.ndarray:
+    """RHS bump  f = 10 exp(-((x-.5)^2+(y-.5)^2)/0.02)
+    (reference: src/poisson_problem.cpp:85-98)."""
+    dx = x[:, 0] - 0.5
+    dy = x[:, 1] - 0.5
+    return 10.0 * np.exp(-(dx * dx + dy * dy) / 0.02)
+
+
+def poisson_g(x: np.ndarray) -> np.ndarray:
+    """Surface coefficient g = sin(5 x0)
+    (reference: src/poisson_problem.cpp:99-106)."""
+    return np.sin(5.0 * x[:, 0])
+
+
+def poisson_bc_marker(x: np.ndarray) -> np.ndarray:
+    """Dirichlet planes x0 = 0 and x0 = 1
+    (reference: src/poisson_problem.cpp:58-71)."""
+    eps = 1.0e-8
+    return (np.abs(x[:, 0]) < eps) | (np.abs(x[:, 0] - 1.0) < eps)
+
+
+def elasticity_f(x: np.ndarray) -> np.ndarray:
+    """Rotational body force (-dz*r*y, 1, dx*r*y)
+    (reference: src/elasticity_problem.cpp:154-176)."""
+    dx = x[:, 0] - 0.5
+    dz = x[:, 2] - 0.5
+    r = np.sqrt(dx * dx + dz * dz)
+    return np.stack([-dz * r * x[:, 1],
+                     np.ones_like(r),
+                     dx * r * x[:, 1]], axis=-1)
+
+
+def elasticity_bc_marker(x: np.ndarray) -> np.ndarray:
+    """Clamped y = 0 plane (reference: src/elasticity_problem.cpp:125-138)."""
+    return np.abs(x[:, 1]) < 1.0e-8

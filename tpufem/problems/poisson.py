@@ -1,0 +1,104 @@
+"""Assembled-matrix Poisson problem.
+
+Rebuild of ``poisson::problem`` (reference: src/poisson_problem.cpp:31-182):
+P1-P3 GLL-warped Lagrange space; Dirichlet u=0 on x0 in {0,1}; RHS
+f = Gaussian bump (volume) + g = sin(5 x0) (surface); assembled stiffness
+with BC rows/cols zeroed + unit diagonal; solver closure = from-scratch
+CG with Jacobi or SA-AMG preconditioning (replacing PETSc KSP + Hypre
+BoomerAMG, README.md:110-128).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.config import Config
+from tpufem.fem import kernels
+from tpufem.fem.assemble import DofScatter, assemble_operator
+from tpufem.fem.dirichlet import DirichletBC
+from tpufem.fem.space import FunctionSpace
+from tpufem.la.cg import cg_solve
+from tpufem.problems import common
+from tpufem.timing import Timer
+
+
+def assemble_poisson_rhs(space: FunctionSpace, scatter: DofScatter,
+                         dtype) -> jnp.ndarray:
+    """b_i = int f v dx + int g v ds over the whole exterior boundary
+    (form L, src/Poisson.py:32)."""
+    mesh = space.mesh
+    order = space.order
+    f = space.interpolate(common.poisson_f)
+    g = space.interpolate(common.poisson_g)
+
+    coords = jnp.asarray(mesh.cell_coords(), dtype=dtype)
+    cd = space.cell_dofs
+    f_cells = jnp.asarray(f[cd], dtype=dtype)
+    b_cells = kernels.poisson_rhs_cells(coords, f_cells, order)
+    b = scatter.scatter_add(b_cells)
+
+    facets = mesh.boundary_faces()
+    cells, lf = common.facet_to_cell(mesh.cell_faces(), facets)
+    fc_coords = jnp.asarray(mesh.cell_coords()[cells], dtype=dtype)
+    g_cells = jnp.asarray(g[cd[cells]], dtype=dtype)
+    contrib = kernels.facet_rhs_cells(fc_coords, jnp.asarray(lf), g_cells, order)
+    # scatter facet contributions (cell-local layout) to dofs
+    flat = cd[cells].reshape(-1)
+    b = b.at[jnp.asarray(flat)].add(contrib.reshape(-1))
+    return b
+
+
+def problem(mesh, order: int, cfg: Config) -> common.Problem:
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    with Timer("ZZZ FunctionSpace"):
+        space = FunctionSpace(mesh, order)
+        _ = space.cell_dofs
+
+    with Timer("ZZZ Create boundary conditions"):
+        facets = mesh.locate_boundary_facets(common.poisson_bc_marker)
+        bc = DirichletBC.from_space(space, facets)
+
+    with Timer("ZZZ Create RHS function"):
+        scatter = DofScatter(space.cell_dofs, space.ndofs_scalar)
+
+    with Timer("ZZZ Assemble matrix"):
+        A, _csr = assemble_operator(space, bc, "poisson", dtype=np.dtype(dtype))
+
+    with Timer("ZZZ Assemble vector"):
+        b = assemble_poisson_rhs(space, scatter, dtype)
+        # apply_lifting is numerically zero (u0 = 0); set BC values
+        b = jnp.asarray(bc.set(b))
+        b.block_until_ready()
+
+    u = jnp.zeros(space.ndofs, dtype=dtype)
+
+    solver = cfg.solver
+
+    def solver_function(u0: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+        pc_type = solver.get("pc_type")
+        if pc_type == "amg":
+            from tpufem.la.amg import SAAMG
+            pc = SAAMG.setup(_csr, bs=1, options=solver, dtype=dtype)
+            precond = pc.as_preconditioner()
+        elif pc_type == "jacobi":
+            dinv = 1.0 / A.diagonal()
+            precond = lambda r: dinv * r
+        else:
+            precond = None
+
+        @jax.jit
+        def run(x0, rhs):
+            return cg_solve(A.matvec, rhs, x0=x0, precond=precond,
+                            rtol=solver.get("ksp_rtol"),
+                            maxit=solver.get("ksp_max_it"))
+
+        x, it, rel = run(u0, rhs)
+        return x, int(it)
+
+    return common.Problem(b=b, u=u, solver_function=solver_function,
+                          space=space, bc=bc)
