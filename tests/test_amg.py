@@ -1,0 +1,94 @@
+"""SA-AMG tests: component behavior + preconditioned-CG convergence
+(replacing PETSc GAMG / Hypre BoomerAMG, reference README.md:63-146)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from tpufem.config import SolverOptions
+from tpufem.la.amg import (SAAMG, aggregate_nodes, node_strength_graph,
+                           tentative_prolongator)
+from tpufem.la.chebyshev import chebyshev_smoother
+from tpufem.la.cg import cg_solve
+
+
+def laplace_3d(n):
+    """7-point Laplacian on an n^3 grid (independent test operator)."""
+    I = sp.identity(n)
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n))
+    A = (sp.kron(sp.kron(T, I), I) + sp.kron(sp.kron(I, T), I)
+         + sp.kron(sp.kron(I, I), T))
+    return A.tocsr()
+
+
+def test_strength_graph_does_not_mutate_input():
+    A = laplace_3d(4)
+    data0 = A.data.copy()
+    idx0 = A.indices.copy()
+    node_strength_graph(A, 1, 0.5)
+    assert np.array_equal(A.data, data0)
+    assert np.array_equal(A.indices, idx0)
+
+
+def test_aggregation_covers_and_is_connected():
+    A = laplace_3d(6)
+    S = node_strength_graph(A, 1, 0.0)
+    agg, nagg = aggregate_nodes(S)
+    assert agg.min() >= 0 and agg.max() == nagg - 1
+    sizes = np.bincount(agg)
+    assert sizes.sum() == A.shape[0]
+    # decent coarsening on a regular grid
+    assert A.shape[0] / nagg > 3.0
+
+
+def test_tentative_prolongator_reproduces_nullspace():
+    """P0 @ Bc == B exactly (the defining SA property)."""
+    A = laplace_3d(5)
+    S = node_strength_graph(A, 1, 0.0)
+    agg, nagg = aggregate_nodes(S)
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((A.shape[0], 2))
+    P0, Bc = tentative_prolongator(agg, nagg, B, 1)
+    assert np.allclose(P0 @ Bc, B, atol=1e-12)
+
+
+def test_chebyshev_polynomial_property():
+    """Error propagator equals the scaled Chebyshev polynomial
+    T_m((theta - x)/delta) / T_m(theta/delta) on the eigenvalues."""
+    lam = np.linspace(0.05, 2.0, 50)
+    A = jnp.asarray(np.diag(lam))
+    dinv = jnp.ones(50)
+    deg = 4
+    smooth = chebyshev_smoother(lambda v: A @ v, dinv, 2.0, degree=deg,
+                                lo_frac=0.1, hi_frac=1.1)
+    e0 = jnp.ones(50)
+    e1 = e0 - smooth(jnp.zeros(50), A @ e0)  # error propagation of x*=1
+    lo, hi = 0.2, 2.2
+    theta, delta = (hi + lo) / 2, (hi - lo) / 2
+    cheb = np.polynomial.chebyshev.Chebyshev([0] * deg + [1])
+    expect = cheb((theta - lam) / delta) / cheb(theta / delta)
+    assert np.allclose(np.asarray(e1), expect, atol=1e-8)
+
+
+@pytest.mark.parametrize("n,maxiter", [(12, 30)])
+def test_amg_cg_fast_convergence(n, maxiter):
+    """CG+V-cycle must converge to 1e-8 in O(10) iterations, independent
+    of Jacobi-CG which needs hundreds."""
+    A = laplace_3d(n)
+    opts = SolverOptions()
+    pc = SAAMG.setup((A.indptr, A.indices, A.data), bs=1, options=opts,
+                     dtype=jnp.float64)
+    assert len(pc.level_sizes) >= 2
+    ell_A = pc.levels[0].A
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(A.shape[0]))
+    x, it, rel = jax.jit(
+        lambda pc, b: cg_solve(pc.levels[0].A.matvec, b,
+                               precond=pc.vcycle, rtol=1e-8, maxit=maxiter)
+    )(pc, b)
+    assert float(rel) < 1e-8
+    assert int(it) < maxiter
+    r = np.asarray(b) - A @ np.asarray(x)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-7

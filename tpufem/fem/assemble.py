@@ -59,6 +59,7 @@ def coo_to_csr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ELLMatrix:
     """Fixed-width padded sparse matrix (scalar or bs x bs blocked).
@@ -66,11 +67,23 @@ class ELLMatrix:
     The TPU-friendly replacement of PETSc MatAIJ for SpMV: row data is a
     dense [N, K] gather + reduction, no indirection chains, static shapes.
     Padding entries point at row 0 with zero value.
+
+    Registered as a pytree so it is passed into jitted solvers as data
+    (baking multi-MB matrices in as HLO constants triggers pathological
+    XLA constant folding).
     """
 
     cols: jnp.ndarray   # [N, K] int32 (block columns)
     vals: jnp.ndarray   # [N, K] or [N, K, bs, bs]
     bs: int = 1
+
+    def tree_flatten(self):
+        return (self.cols, self.vals), self.bs
+
+    @classmethod
+    def tree_unflatten(cls, bs, children):
+        cols, vals = children
+        return cls(cols, vals, bs)
 
     @property
     def n_block_rows(self) -> int:
@@ -122,18 +135,31 @@ def csr_to_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_pytree_node_class
 class DofScatter:
     """Precomputed sorted segment-sum scatter from cell-local contributions
     to the global dof vector (the no-atomics TPU replacement for the
     add-mode VecSetValues / ghost accumulation of the reference)."""
 
-    def __init__(self, cell_dofs: np.ndarray, ndofs_scalar: int, bs: int = 1) -> None:
-        flat = cell_dofs.reshape(-1)
-        perm = np.argsort(flat, kind="stable")
-        self.perm = jnp.asarray(perm.astype(np.int32))
-        self.segments = jnp.asarray(flat[perm].astype(np.int32))
+    def __init__(self, cell_dofs: np.ndarray, ndofs_scalar: int, bs: int = 1,
+                 _arrays=None) -> None:
+        if _arrays is not None:
+            self.perm, self.segments = _arrays
+        else:
+            flat = cell_dofs.reshape(-1)
+            perm = np.argsort(flat, kind="stable")
+            self.perm = jnp.asarray(perm.astype(np.int32))
+            self.segments = jnp.asarray(flat[perm].astype(np.int32))
         self.ndofs_scalar = ndofs_scalar
         self.bs = bs
+
+    def tree_flatten(self):
+        return (self.perm, self.segments), (self.ndofs_scalar, self.bs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        ndofs_scalar, bs = aux
+        return cls(None, ndofs_scalar, bs, _arrays=children)
 
     def scatter_add(self, cell_vals: jnp.ndarray) -> jnp.ndarray:
         """cell_vals [C, n] (bs=1) or [C, n, bs] -> flat dof vector."""

@@ -1,0 +1,369 @@
+"""Smoothed-aggregation algebraic multigrid (SA-AMG).
+
+From-scratch replacement for PETSc GAMG and Hypre BoomerAMG (reference
+solver configs: README.md:63-146 — GAMG with Chebyshev+Jacobi level
+smoothers, coarse_eq_limit 1000, rigid-body near-nullspace for
+elasticity; BoomerAMG for Poisson.  SA-AMG is the documented functional
+equivalent for both paths, per SURVEY.md E18/E19).
+
+Split of labor (the TPU-idiomatic design):
+- **setup on host** (numpy/scipy, float64): strength graph, randomized
+  parallel (Luby-style) aggregation, tentative prolongator via batched
+  per-aggregate QR of the near-nullspace, Jacobi-smoothed P, Galerkin
+  triple product, power-iteration eigenvalue estimates, dense coarse
+  inverse;
+- **V-cycle on device** (jitted, static shapes): padded-ELL SpMVs,
+  Chebyshev/Jacobi smoothing, restriction/prolongation as ELL matvecs,
+  coarse solve as a dense matmul.  The whole preconditioner traces into
+  the CG ``lax.while_loop``, so a full solve is ONE device dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from tpufem.fem.assemble import ELLMatrix, csr_to_ell
+from tpufem.la.chebyshev import chebyshev_smoother, power_iteration_lmax
+
+
+# ---------------------------------------------------------------------------
+# Strength of connection + aggregation
+# ---------------------------------------------------------------------------
+
+
+def node_strength_graph(A: sp.csr_matrix, bs: int, theta: float) -> sp.csr_matrix:
+    """Node-level symmetric strength graph (no self loops).
+
+    Scalar: strong if |a_ij| > theta * sqrt(a_ii a_jj).  Blocked: blocks
+    condensed by max-abs before thresholding.
+    """
+    if bs > 1:
+        coo = A.tocoo()
+        rows = coo.row // bs
+        cols = coo.col // bs
+        vals = np.abs(coo.data)
+        n = A.shape[0] // bs
+        S = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+        S.sum_duplicates()  # max would be better; sum is fine for strength
+    else:
+        # copy index arrays: in-place ops below (setdiag/eliminate_zeros)
+        # must not corrupt the caller's matrix
+        S = sp.csr_matrix((np.abs(A.data), A.indices.copy(), A.indptr.copy()),
+                          shape=A.shape)
+    d = S.diagonal()
+    d = np.where(d > 0, d, 1.0)
+    if theta > 0.0:
+        coo = S.tocoo()
+        keep = np.abs(coo.data) > theta * np.sqrt(d[coo.row] * d[coo.col])
+        S = sp.coo_matrix((coo.data[keep], (coo.row[keep], coo.col[keep])),
+                          shape=S.shape).tocsr()
+    S.setdiag(0.0)
+    S.eliminate_zeros()
+    # symmetrize
+    S = S.maximum(S.T).tocsr()
+    return S
+
+
+def _segment_max(vals: np.ndarray, indptr: np.ndarray, default: float) -> np.ndarray:
+    n = indptr.shape[0] - 1
+    out = np.full(n, default)
+    nnz = np.diff(indptr)
+    ne = np.flatnonzero(nnz > 0)
+    if ne.size:
+        out[ne] = np.maximum.reduceat(vals, indptr[ne])
+    return out
+
+
+def aggregate_nodes(S: sp.csr_matrix, seed: int = 0,
+                    max_rounds: int = 64) -> Tuple[np.ndarray, int]:
+    """Parallel (Luby-style randomized MIS) aggregation.
+
+    Vectorized equivalent of greedy Vanek-Mandel-Brezina aggregation:
+    local-priority-maximum unaggregated nodes become aggregate roots and
+    absorb their unaggregated strong neighbors; leftovers attach to a
+    neighboring aggregate.  Deterministic for a fixed seed.
+    Returns (agg [n] int64, num_aggregates).
+    """
+    n = S.shape[0]
+    indptr, indices = S.indptr, S.indices
+    rng = np.random.default_rng(seed)
+    prio = rng.permutation(n).astype(np.float64)
+    agg = np.full(n, -1, dtype=np.int64)
+    nagg = 0
+
+    for _ in range(max_rounds):
+        cand = agg < 0
+        if not cand.any():
+            break
+        # VMB phase-1 eligibility: the whole strong neighborhood is still
+        # unaggregated (nodes bordering an aggregate wait for phase 2)
+        has_agg_nb = _segment_max(
+            (agg[indices] >= 0).astype(np.float64), indptr, 0.0) > 0.0
+        elig = cand & ~has_agg_nb
+        if not elig.any():
+            break
+        # neighbor priorities among eligible competitors
+        nb_p = np.where(elig[indices], prio[indices], -1.0)
+        nmax = _segment_max(nb_p, indptr, -1.0)
+        roots = elig & (prio > nmax)
+        nroots = int(roots.sum())
+        if nroots == 0:
+            break
+        root_ids = np.flatnonzero(roots)
+        agg[root_ids] = nagg + np.arange(nroots)
+        nagg += nroots
+        # unaggregated nodes with a root neighbor join the max-priority root
+        cand = agg < 0
+        rp = np.where(roots[indices], prio[indices], -1.0)
+        rmax = _segment_max(rp, indptr, -1.0)
+        join = cand & (rmax >= 0.0)
+        if join.any():
+            # find, per joining row, the nnz whose col is that max root
+            rows = np.repeat(np.arange(n), np.diff(indptr))
+            hit = (rp == rmax[rows]) & roots[indices] & join[rows]
+            # first hit per row wins
+            first = np.zeros(n, dtype=np.int64)
+            idx = np.flatnonzero(hit)
+            # reverse so earlier nnz overwrite later ones
+            first[rows[idx[::-1]]] = indices[idx[::-1]]
+            agg[np.flatnonzero(join)] = agg[first[np.flatnonzero(join)]]
+
+    # phase 2: attach stragglers to any aggregated neighbor
+    for _ in range(4):
+        cand = agg < 0
+        if not cand.any():
+            break
+        ap = np.where(agg[indices] >= 0, prio[indices], -1.0)
+        amax = _segment_max(ap, indptr, -1.0)
+        join = cand & (amax >= 0.0)
+        if not join.any():
+            break
+        rows = np.repeat(np.arange(n), np.diff(indptr))
+        hit = (ap == amax[rows]) & (agg[indices] >= 0) & join[rows]
+        first = np.zeros(n, dtype=np.int64)
+        idx = np.flatnonzero(hit)
+        first[rows[idx[::-1]]] = indices[idx[::-1]]
+        agg[np.flatnonzero(join)] = agg[first[np.flatnonzero(join)]]
+
+    # phase 3: isolated leftovers become singletons
+    left = np.flatnonzero(agg < 0)
+    if left.size:
+        agg[left] = nagg + np.arange(left.size)
+        nagg += left.size
+    return agg, nagg
+
+
+# ---------------------------------------------------------------------------
+# Tentative + smoothed prolongator
+# ---------------------------------------------------------------------------
+
+
+def tentative_prolongator(agg: np.ndarray, nagg: int, B: np.ndarray,
+                          bs: int) -> Tuple[sp.csr_matrix, np.ndarray]:
+    """Per-aggregate QR fit of the near-nullspace.
+
+    B: [ndofs, m] fine-level near-nullspace (columns).  Returns
+    (P0 [ndofs, nagg*m] CSR, Bc [nagg*m, m] coarse near-nullspace).
+    Rank-deficient aggregates (fewer rows than m) get dependent columns
+    zeroed; the resulting inert coarse dofs are fixed up in the Galerkin
+    product (unit diagonal).
+    """
+    ndofs, m = B.shape
+    nnode = ndofs // bs
+    order = np.argsort(agg, kind="stable")
+    counts = np.bincount(agg, minlength=nagg)
+    maxn = int(counts.max())
+    # padded gather of each aggregate's dof rows of B
+    pad_nodes = np.zeros((nagg, maxn), dtype=np.int64)
+    rowmask = np.zeros((nagg, maxn), dtype=bool)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(nnode) - starts[agg[order]]
+    pad_nodes[agg[order], pos] = order
+    rowmask[agg[order], pos] = True
+    # expand to scalar dofs: [nagg, maxn*bs]
+    dofs = (pad_nodes[..., None] * bs + np.arange(bs)).reshape(nagg, maxn * bs)
+    rmask = np.repeat(rowmask, bs, axis=1)
+    blocks = B[dofs] * rmask[..., None]  # [nagg, rows, m]
+    Q, R = np.linalg.qr(blocks)  # batched reduced QR
+    Q = Q * rmask[..., None]
+    # rank detection from R's diagonal (QR of a zero block still returns a
+    # unit Q, so Q norms cannot detect dead aggregates — e.g. singleton
+    # BC dofs whose nullspace rows were zeroed)
+    rdiag = np.abs(np.diagonal(R, axis1=1, axis2=2))  # [nagg, m]
+    scale = np.maximum(rdiag.max(axis=1, keepdims=True), 1e-300)
+    bad = (rdiag < 1e-8 * scale) | (rdiag < 1e-12)
+    if bad.any():
+        Q = np.where(bad[:, None, :], 0.0, Q)
+        R = np.where(bad[:, :, None], 0.0, R)
+    # fully-dead aggregates (e.g. singleton BC dofs whose nullspace rows
+    # are zeroed) are DROPPED — carrying them through every coarser level
+    # stalls coarsening.  Partially-deficient aggregates keep all m
+    # columns (zeroed where dead) so coarse levels retain clean m-blocks.
+    keep_agg = ~bad.all(axis=1)  # [nagg]
+    keep = np.repeat(keep_agg, m)  # [nagg * m]
+    ncoarse = int(keep.sum())
+    colmap = np.cumsum(keep) - 1  # old coarse dof -> new (valid where keep)
+
+    rows = dofs.reshape(-1)
+    cols = ((np.arange(nagg)[:, None, None] * m + np.arange(m)[None, None, :])
+            * np.ones((1, maxn * bs, 1), dtype=np.int64))
+    vals = Q  # [nagg, rows, m]
+    mask = np.repeat(rmask.reshape(-1), m) & keep[cols.reshape(-1)]
+    rows = np.repeat(rows, m)[mask]
+    cols = colmap[cols.reshape(-1)[mask]]
+    data = vals.reshape(-1)[mask]
+    P0 = sp.coo_matrix((data, (rows, cols)), shape=(ndofs, ncoarse)).tocsr()
+    Bc = R.reshape(nagg * m, m)[keep]
+    return P0, Bc
+
+
+def smooth_prolongator(A: sp.csr_matrix, P0: sp.csr_matrix,
+                       damping: float, lmax: float) -> sp.csr_matrix:
+    """P = (I - omega D^-1 A) P0 with omega = damping / lmax(D^-1 A)
+    (classic SA Jacobi prolongator smoothing)."""
+    d = A.diagonal()
+    dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    omega = damping / lmax
+    DinvA = sp.diags(dinv) @ A
+    return (P0 - omega * (DinvA @ P0)).tocsr()
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class _Level:
+    A: ELLMatrix
+    P: Optional[ELLMatrix]      # fine <- coarse
+    PT: Optional[ELLMatrix]     # coarse <- fine
+    dinv: jnp.ndarray
+    lmax: float                 # static (baked into Chebyshev coefficients)
+
+    def tree_flatten(self):
+        return (self.A, self.P, self.PT, self.dinv), self.lmax
+
+    @classmethod
+    def tree_unflatten(cls, lmax, children):
+        A, P, PT, dinv = children
+        return cls(A, P, PT, dinv, lmax)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SAAMG:
+    levels: List[_Level]
+    coarse_inv: jnp.ndarray     # dense [nc, nc]
+    smoother_degree: int
+    level_sizes: List[int]
+
+    def tree_flatten(self):
+        return (self.levels, self.coarse_inv), (self.smoother_degree,
+                                                tuple(self.level_sizes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        levels, coarse_inv = children
+        degree, sizes = aux
+        return cls(list(levels), coarse_inv, degree, list(sizes))
+
+    @classmethod
+    def setup(cls, csr_tuple, bs: int, options, dtype=jnp.float32,
+              near_nullspace: Optional[np.ndarray] = None,
+              bc_mask: Optional[np.ndarray] = None) -> "SAAMG":
+        indptr, indices, data = csr_tuple
+        if data.ndim == 3:  # block CSR -> scalar CSR
+            nb = indptr.shape[0] - 1
+            A = sp.bsr_matrix((data, indices, indptr),
+                              shape=(nb * bs, nb * bs)).tocsr()
+        else:
+            A = sp.csr_matrix((data, indices, indptr))
+        n = A.shape[0]
+
+        theta = float(options.get("amg_strength_threshold"))
+        coarse_limit = int(options.get("amg_coarse_eq_limit"))
+        max_levels = int(options.get("amg_max_levels"))
+        damping = float(options.get("amg_prolongator_damping"))
+        degree = int(options.get("amg_smoother_degree"))
+
+        if near_nullspace is None:
+            B = np.ones((n, 1))
+        else:
+            B = np.ascontiguousarray(near_nullspace.T)  # [ndofs, m]
+        if bc_mask is not None:
+            # BC rows are identity; zero the candidate rows there so the
+            # prolongator never interpolates into constrained dofs
+            flat = np.repeat(bc_mask, bs) if bc_mask.shape[0] * bs == n else bc_mask
+            B = B * (~flat)[:, None]
+
+        levels: List[_Level] = []
+        sizes = [n]
+        lvl_bs = bs
+        Al = A
+        while Al.shape[0] > coarse_limit and len(levels) < max_levels - 1:
+            d = Al.diagonal()
+            dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+            lmax = power_iteration_lmax(lambda v: Al @ v, dinv, Al.shape[0])
+            S = node_strength_graph(Al, lvl_bs, theta)
+            agg, nagg = aggregate_nodes(S, seed=len(levels))
+            P0, Bc = tentative_prolongator(agg, nagg, B, lvl_bs)
+            if P0.shape[1] == 0 or P0.shape[1] >= Al.shape[0]:
+                break  # no useful coarsening possible
+            P = smooth_prolongator(Al, P0, damping, lmax)
+            Ac = (P.T @ Al @ P).tocsr()
+            Ac.sum_duplicates()
+            # inert coarse dofs (rank-deficient aggregates): unit diagonal
+            dc = Ac.diagonal()
+            dead = np.flatnonzero(dc == 0.0)
+            if dead.size:
+                Ac = Ac + sp.coo_matrix(
+                    (np.ones(dead.size), (dead, dead)), shape=Ac.shape)
+                Ac = Ac.tocsr()
+
+            PT = P.T.tocsr()
+            levels.append(_Level(
+                A=csr_to_ell(Al.indptr, Al.indices, Al.data, dtype=dtype),
+                P=csr_to_ell(P.indptr, P.indices, P.data, dtype=dtype),
+                PT=csr_to_ell(PT.indptr, PT.indices, PT.data, dtype=dtype),
+                dinv=jnp.asarray(dinv, dtype=dtype),
+                lmax=lmax,
+            ))
+            Al = Ac
+            B = Bc
+            lvl_bs = B.shape[1]  # coarse levels carry m dofs per aggregate
+            sizes.append(Al.shape[0])
+
+        # dense coarse solve, applied as a matmul on device; tiny diagonal
+        # shift guards the (dropped-dof-free, hence SPD) coarse operator
+        Ad = Al.toarray()
+        shift = 1e-12 * max(float(np.abs(Ad).max()), 1.0)
+        coarse_inv = jnp.asarray(
+            np.linalg.inv(Ad + shift * np.eye(Ad.shape[0])), dtype=dtype)
+        return cls(levels=levels, coarse_inv=coarse_inv,
+                   smoother_degree=degree, level_sizes=sizes)
+
+    # -- device V-cycle -------------------------------------------------------
+    def vcycle(self, r: jnp.ndarray, i: int = 0) -> jnp.ndarray:
+        """One V(1,1) cycle; traceable (self may be a jit argument)."""
+        if i == len(self.levels):
+            return self.coarse_inv @ r
+        lv = self.levels[i]
+        smooth = chebyshev_smoother(lv.A.matvec, lv.dinv, lv.lmax,
+                                    degree=self.smoother_degree)
+        x = smooth(jnp.zeros_like(r), r)
+        rr = r - lv.A.matvec(x)
+        rc = lv.PT.matvec(rr)
+        xc = self.vcycle(rc, i + 1)
+        x = x + lv.P.matvec(xc)
+        return smooth(x, r)
+
+    def as_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        return self.vcycle

@@ -34,23 +34,44 @@ from tpufem.problems.poisson import assemble_poisson_rhs
 from tpufem.timing import Timer
 
 
+import dataclasses
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MatFreePoissonOp:
+    """The matrix-free operator as a pytree (passed into jit as data):
+    precomputed per-cell metric, dofmap, BC dofs, scatter tables."""
+
+    G: jnp.ndarray          # [C, 3, 3] |detJ| Jinv Jinv^T
+    cd: jnp.ndarray         # [C, n] int32 cell dofs
+    bc_flat: jnp.ndarray    # [nbc] int32 constrained dofs
+    scatter: DofScatter
+    order: int              # static
+
+    def tree_flatten(self):
+        return (self.G, self.cd, self.bc_flat, self.scatter), self.order
+
+    @classmethod
+    def tree_unflatten(cls, order, children):
+        return cls(*children, order)
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A @ x with BC rows zeroed (matching bc->set(y, 0) at
+        cgpoisson_problem.cpp:207)."""
+        u_cells = x[self.cd]
+        y_cells = kernels.poisson_action_from_metric(self.G, u_cells, self.order)
+        y = self.scatter.scatter_add(y_cells)
+        return y.at[self.bc_flat].set(0.0)
+
+
 def make_action(space: FunctionSpace, bc: DirichletBC, scatter: DofScatter,
-                dtype):
-    """Jit-friendly y = A @ x closure (BC rows zeroed, matching
-    bc->set(y, 0) at cgpoisson_problem.cpp:207)."""
+                dtype) -> MatFreePoissonOp:
     coords = jnp.asarray(space.mesh.cell_coords(), dtype=jnp.float64)
     G = kernels.metric_tensors(coords, dtype=jnp.float64).astype(dtype)
     cd = jnp.asarray(space.cell_dofs.astype(np.int32))
     bc_flat = jnp.asarray(bc.flat_dofs().astype(np.int32))
-    order = space.order
-
-    def action(x: jnp.ndarray) -> jnp.ndarray:
-        u_cells = x[cd]
-        y_cells = kernels.poisson_action_from_metric(G, u_cells, order)
-        y = scatter.scatter_add(y_cells)
-        return y.at[bc_flat].set(0.0)
-
-    return action
+    return MatFreePoissonOp(G, cd, bc_flat, scatter, space.order)
 
 
 def problem(mesh, order: int, cfg: Config) -> common.Problem:
@@ -77,22 +98,22 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         b.block_until_ready()
 
     u = jnp.zeros(space.ndofs, dtype=dtype)
-    action = make_action(space, bc, scatter, dtype)
+    op = make_action(space, bc, scatter, dtype)
     solver = cfg.solver
     rtol = float(solver.extra.get("cg_rtol", 1e-6))
     kmax = int(solver.extra.get("cg_kmax", 100))
     solver._consumed.update(("cg_rtol", "cg_kmax"))
 
-    run = jax.jit(lambda x0, rhs: cg_solve(action, rhs, x0=x0,
-                                           rtol=rtol, maxit=kmax))
+    run = jax.jit(lambda op, x0, rhs: cg_solve(op.apply, rhs, x0=x0,
+                                               rtol=rtol, maxit=kmax))
 
     def solver_function(u0: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
         # warm-up compile outside the timed region (the reference's C++
         # kernels are AOT-compiled; timing XLA compilation would not be
         # an apples-to-apples solve time)
-        jax.block_until_ready(run(u0, rhs))
+        jax.block_until_ready(run(op, u0, rhs))
         t0 = time.perf_counter()
-        x, it, rel = run(u0, rhs)
+        x, it, rel = run(op, u0, rhs)
         jax.block_until_ready(x)
         dt = time.perf_counter() - t0
         gdofs = int(it) * space.ndofs / dt / 1e9

@@ -66,26 +66,34 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
     u = jnp.zeros(space.ndofs, dtype=dtype)
     solver = cfg.solver
 
+    rtol = float(solver.get("ksp_rtol"))
+    maxit = int(solver.get("ksp_max_it"))
+    cache = {}
+
     def solver_function(u0: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+        # PC setup inside the solve (PETSc's PCSetUp runs within
+        # KSPSolve), cached for repeat solves
         pc_type = solver.get("pc_type")
-        if pc_type == "amg":
-            from tpufem.la.amg import SAAMG
-            pc = SAAMG.setup(_csr, bs=3, options=solver, dtype=dtype,
-                             near_nullspace=nns, bc_mask=bc.mask())
-            precond = pc.as_preconditioner()
-        elif pc_type == "jacobi":
-            dinv = 1.0 / A.diagonal()
-            precond = lambda r: dinv * r
-        else:
-            precond = None
+        if "run" not in cache:
+            if pc_type == "amg":
+                from tpufem.la.amg import SAAMG
+                pc = SAAMG.setup(_csr, bs=3, options=solver, dtype=dtype,
+                                 near_nullspace=nns, bc_mask=bc.mask())
+                precond_of = lambda pc: pc.vcycle
+            elif pc_type == "jacobi":
+                pc = 1.0 / A.diagonal()
+                precond_of = lambda dinv: (lambda r: dinv * r)
+            else:
+                pc = None
+                precond_of = lambda _: None
 
-        @jax.jit
-        def run(x0, rhs):
-            return cg_solve(A.matvec, rhs, x0=x0, precond=precond,
-                            rtol=solver.get("ksp_rtol"),
-                            maxit=solver.get("ksp_max_it"))
+            @jax.jit
+            def run(A, pc, x0, rhs):
+                return cg_solve(A.matvec, rhs, x0=x0, precond=precond_of(pc),
+                                rtol=rtol, maxit=maxit)
 
-        x, it, rel = run(u0, rhs)
+            cache["run"], cache["pc"] = run, pc
+        x, it, rel = cache["run"](A, cache["pc"], u0, rhs)
         return x, int(it)
 
     return common.Problem(b=b, u=u, solver_function=solver_function,
