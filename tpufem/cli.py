@@ -1,0 +1,184 @@
+"""CLI driver — the ``dolfinx-scaling-test`` executable equivalent.
+
+Rebuild of solve()/main() (reference: src/main.cpp:52-275): parses the
+same double-hyphen app flags (main.cpp:57-74), passes single-hyphen
+options through to the solver namespace (the PETSc options-DB analogue,
+main.cpp:77-81, with a warn-on-unused audit replacing -options_left),
+builds the mesh, dispatches to the problem, prints the reproducibility
+summary, times the solve, optionally writes XDMF, prints the ZZZ timing
+table, and reports Krylov iterations + solution norm.
+
+Run:  python -m tpufem --problem_type poisson --ndofs 500000 --order 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from tpufem import __version__
+from tpufem.config import Config, SolverOptions
+from tpufem.logutil import init_logging, int64_to_human
+from tpufem.timing import REGISTRY, Timer, list_timings
+
+
+def parse_args(argv: Optional[List[str]] = None) -> Config:
+    parser = argparse.ArgumentParser(
+        prog="tpufem", description="TPU-native FEM scaling test",
+        allow_abbrev=False)
+    parser.add_argument("--problem_type", default="poisson",
+                        help="problem (poisson, cgpoisson, or elasticity)")
+    parser.add_argument("--mesh_type", default="cube",
+                        help="mesh (cube or unstructured)")
+    parser.add_argument("--scaling_type", default="weak",
+                        help="scaling (weak or strong)")
+    parser.add_argument("--ndofs", type=int, default=50000,
+                        help="number of degrees of freedom")
+    parser.add_argument("--order", type=int, default=1, help="polynomial order")
+    parser.add_argument("--scatterer", default="neighbor",
+                        help="ghost exchange schedule (neighbor or p2p)")
+    parser.add_argument("--output", default="",
+                        help="output directory (no output unless set)")
+    parser.add_argument("--memory_profiling", action="store_true")
+    parser.add_argument("--subcomm_partition", action="store_true")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "float64", "mixed"])
+    parser.add_argument("--num_shards", type=int, default=0,
+                        help="device shards (0 = all visible devices)")
+    args, unknown = parser.parse_known_args(argv)
+
+    # single-hyphen pass-through -> solver options namespace
+    # (the PETSc options DB analogue, reference main.cpp:77-81)
+    solver = SolverOptions()
+    i = 0
+    while i < len(unknown):
+        tok = unknown[i]
+        if not tok.startswith("-"):
+            raise SystemExit(f"unrecognized argument: {tok}")
+        key = tok.lstrip("-")
+        val: object = True
+        if i + 1 < len(unknown) and not unknown[i + 1].startswith("-"):
+            raw = unknown[i + 1]
+            try:
+                val = int(raw)
+            except ValueError:
+                try:
+                    val = float(raw)
+                except ValueError:
+                    val = raw
+            i += 1
+        if hasattr(solver, key) and key not in ("extra",):
+            setattr(solver, key, type(getattr(solver, key))(val)
+                    if not isinstance(val, bool) else val)
+        else:
+            solver.extra[key] = val
+        i += 1
+
+    return Config(
+        problem_type=args.problem_type, mesh_type=args.mesh_type,
+        scaling_type=args.scaling_type, ndofs=args.ndofs, order=args.order,
+        scatterer=args.scatterer, output=args.output,
+        memory_profiling=args.memory_profiling,
+        subcomm_partition=args.subcomm_partition, dtype=args.dtype,
+        num_shards=args.num_shards, solver=solver)
+
+
+def solve(cfg: Config) -> Tuple[int, float]:
+    """Run one configuration; returns (iterations, solution norm)."""
+    import jax
+    if cfg.dtype in ("float64", "mixed"):
+        jax.config.update("jax_enable_x64", True)
+
+    logger = init_logging(rank=0)
+    num_shards = cfg.num_shards or len(jax.devices())
+
+    mem = None
+    if cfg.memory_profiling:
+        from tpufem.memprof import MemoryProfiler
+        mem = MemoryProfiler().start()
+
+    strong_scaling = cfg.scaling_type == "strong"
+
+    with Timer("ZZZ Create Mesh"):
+        if cfg.mesh_type == "cube":
+            from tpufem.mesh import BoxTetMesh, compute_box_size
+            nx, ny, nz, r = compute_box_size(
+                cfg.ndofs, strong_scaling, cfg.dofs_per_node, cfg.order,
+                num_shards)
+            mesh = BoxTetMesh(nx << r, ny << r, nz << r)
+            print(f"UnitCube ({nx}x{ny}x{nz}) to be refined {r} times",
+                  flush=True)
+        else:
+            from tpufem.mesh.spoke import create_spoke_mesh
+            mesh = create_spoke_mesh(cfg.ndofs, strong_scaling,
+                                     cfg.dofs_per_node, num_shards)
+
+    with Timer("ZZZ Create facets and facet->cell connectivity"):
+        facets = mesh.boundary_faces()
+        from tpufem.problems.common import facet_to_cell
+        facet_to_cell(mesh.cell_faces(), facets)
+
+    from tpufem.problems import cgpoisson, elasticity, poisson
+    problems = {"poisson": poisson.problem, "cgpoisson": cgpoisson.problem,
+                "elasticity": elasticity.problem}
+    prob = problems[cfg.problem_type](mesh, cfg.order, cfg)
+
+    # reproducibility summary (reference main.cpp:172-206)
+    import jaxlib
+    num_dofs = prob.space.ndofs
+    num_cells = mesh.num_cells_global
+    line = "-" * 64
+    print(line)
+    print("Test problem summary")
+    print(f"  tpufem version:  {__version__}")
+    print(f"  jax version:     {jax.__version__}")
+    print(f"  jaxlib version:  {jaxlib.__version__}")
+    print(f"  backend:         {jax.default_backend()}")
+    print(f"  dtype:           {cfg.dtype}")
+    print(f"  Problem type:    {cfg.problem_type}")
+    print(f"  Scaling type:    {cfg.scaling_type}")
+    print(f"  Num shards:      {num_shards}")
+    print(f"  Num cells:       {num_cells}{int64_to_human(num_cells)}")
+    print(f"  Total degrees of freedom:               "
+          f"{num_dofs}{int64_to_human(num_dofs)}")
+    print(f"  Average degrees of freedom per shard:   "
+          f"{num_dofs // num_shards}")
+    print(line, flush=True)
+
+    with Timer("ZZZ Solve"):
+        x, num_iter = prob.solver_function(prob.u, prob.b)
+        import jax as _jax
+        _jax.block_until_ready(x)
+
+    if cfg.output:
+        import os
+        with Timer("ZZZ Output"):
+            os.makedirs(cfg.output, exist_ok=True)
+            from tpufem.io import write_xdmf
+            fn = os.path.join(cfg.output, f"solution-{num_shards}.xdmf")
+            write_xdmf(fn, mesh, np.asarray(x), bs=prob.space.bs)
+
+    list_timings()
+
+    from tpufem.la.vector import norm
+    sol_norm = float(norm(x))
+    print(f"*** Number of Krylov iterations: {num_iter}")
+    print(f"*** Solution norm:  {sol_norm}", flush=True)
+
+    cfg.solver.warn_options_left()
+    if mem is not None:
+        mem.stop()
+    return num_iter, sol_norm
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    cfg = parse_args(argv)
+    solve(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
