@@ -1,0 +1,131 @@
+"""Benchmark harness — run on real TPU hardware by the driver.
+
+Reproduces the reference's recommended weak-scaling configuration shapes
+(README.md:110-128: Poisson, 500k DOF/proc, CG rtol 1e-8 + AMG) plus the
+matrix-free cgpoisson throughput metric (Gdof/s = iters * dofs / s / 1e9,
+src/cgpoisson_problem.cpp:236-242), on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+   "extra": {...}}
+
+The reference publishes no absolute numbers in-tree (BASELINE.md), so
+vs_baseline is reported against the previous round's value when
+BENCH_PREV.json exists, else 1.0.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:8.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    extra = {"backend": jax.default_backend(),
+             "device": str(jax.devices()[0])}
+    log(f"backend={extra['backend']} device={extra['device']}")
+
+    from tpufem.config import Config, SolverOptions
+    from tpufem.mesh import BoxTetMesh, compute_box_size
+    from tpufem.problems import cgpoisson, poisson
+    from tpufem.timing import REGISTRY
+
+    # ---- 1. Poisson P1, 500k dofs, CG + SA-AMG to rtol 1e-8 ---------------
+    NDOFS = 500_000
+    cfg = Config(problem_type="poisson", ndofs=NDOFS, scaling_type="strong",
+                 dtype="float32",
+                 solver=SolverOptions(pc_type="amg", ksp_rtol=1e-8,
+                                      ksp_max_it=100))
+    nx, ny, nz, r = compute_box_size(NDOFS, True, 1, 1, 1)
+    mesh = BoxTetMesh(nx << r, ny << r, nz << r)
+
+    REGISTRY.reset()
+    log(f"poisson P1: mesh {mesh.Nx}x{mesh.Ny}x{mesh.Nz}, building problem")
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sys.stderr):
+        prob = poisson.problem(mesh, 1, cfg)
+    assemble_s = time.perf_counter() - t0
+    log(f"assembled in {assemble_s:.2f}s; first solve (AMG setup + compile)")
+
+    # first call = AMG setup + compile; second = pure solve
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sys.stderr):
+        x, it = prob.solver_function(prob.u, prob.b)
+        jax.block_until_ready(x)
+    solve_first_s = time.perf_counter() - t0
+    log(f"first solve {solve_first_s:.2f}s ({it} iters); timing cached solve")
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sys.stderr):
+        x, it = prob.solver_function(prob.u, prob.b)
+        jax.block_until_ready(x)
+    solve_s = time.perf_counter() - t0
+    log(f"solve {solve_s:.3f}s, {it} iterations")
+
+    ndofs = prob.space.ndofs
+    total_s = assemble_s + solve_s
+    extra.update({
+        "poisson_p1_ndofs": ndofs,
+        "poisson_p1_assemble_s": round(assemble_s, 4),
+        "poisson_p1_solve_s": round(solve_s, 4),
+        "poisson_p1_solve_first_s": round(solve_first_s, 4),
+        "poisson_p1_iterations": it,
+        "poisson_p1_dofs_per_s": round(ndofs / total_s, 1),
+    })
+
+    # ---- 2. matrix-free cgpoisson P2, 500k dofs, Gdof/s --------------------
+    cfg2 = Config(problem_type="cgpoisson", ndofs=NDOFS,
+                  scaling_type="strong", dtype="float32",
+                  solver=SolverOptions())
+    nx, ny, nz, r = compute_box_size(NDOFS, True, 1, 2, 1)
+    mesh2 = BoxTetMesh(nx << r, ny << r, nz << r)
+    log("cgpoisson P2: building problem")
+    with contextlib.redirect_stdout(sys.stderr):
+        prob2 = cgpoisson.problem(mesh2, 2, cfg2)
+        x2, it2 = prob2.solver_function(prob2.u, prob2.b)
+    log(f"cgpoisson done: {getattr(cgpoisson.problem, '_last_gdofs', 0):.3f} Gdof/s")
+    gdofs = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
+    extra.update({
+        "cgpoisson_p2_ndofs": prob2.space.ndofs,
+        "cgpoisson_p2_iterations": it2,
+        "cgpoisson_p2_gdof_per_s": round(gdofs, 3),
+        "cgpoisson_p2_solve_s": round(
+            getattr(cgpoisson.problem, "_last_solve_s", 0.0), 4),
+    })
+
+    value = round(ndofs / total_s, 1)
+    vs = 1.0
+    if os.path.exists("BENCH_PREV.json"):
+        try:
+            prev = json.load(open("BENCH_PREV.json"))
+            if prev.get("value"):
+                vs = round(value / float(prev["value"]), 3)
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": "poisson_p1_500k_assemble_solve_dofs_per_s",
+        "value": value,
+        "unit": "dof/s",
+        "vs_baseline": vs,
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

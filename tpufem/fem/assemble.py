@@ -188,14 +188,56 @@ class DofScatter:
 # ---------------------------------------------------------------------------
 
 
+def _geometry_np(coords: np.ndarray):
+    """Host float64 (Jinv [C,3,3], |detJ| [C]) — assembly runs on the host
+    (setup phase): f64 on TPU is emulated and each chunk would cost a
+    dispatch roundtrip; numpy is faster end-to-end and exact."""
+    E = coords[:, 1:4, :] - coords[:, 0:1, :]
+    J = np.swapaxes(E, 1, 2)
+    det = np.linalg.det(J)
+    return np.linalg.inv(J), np.abs(det)
+
+
+def metric_np(coords: np.ndarray) -> np.ndarray:
+    """Host float64 per-cell metric |detJ| Jinv Jinv^T (numpy twin of
+    kernels.metric_tensors; setup-phase geometry)."""
+    Jinv, adet = _geometry_np(coords)
+    return np.einsum("cal,cbl->cab", Jinv, Jinv) * adet[:, None, None]
+
+
+def _poisson_stiffness_np(coords: np.ndarray, order: int) -> np.ndarray:
+    """Numpy twin of kernels.poisson_stiffness_cells (tested equal)."""
+    from tpufem.fem.kernels import _poisson_ref_tables
+    Kflat, _, n = _poisson_ref_tables(order)
+    Jinv, adet = _geometry_np(coords)
+    G = np.einsum("cal,cbl->cab", Jinv, Jinv) * adet[:, None, None]
+    return (G.reshape(-1, 9) @ Kflat).reshape(-1, n, n)
+
+
+def _elasticity_stiffness_np(coords: np.ndarray, order: int) -> np.ndarray:
+    """Numpy twin of kernels.elasticity_stiffness_cells (tested equal)."""
+    from tpufem.fem.kernels import (ELASTICITY_LMBDA, ELASTICITY_MU,
+                                    _elasticity_ref_table)
+    TT, _, n = _elasticity_ref_table(order)
+    mu, lam = ELASTICITY_MU, ELASTICITY_LMBDA
+    Jinv, adet = _geometry_np(coords)
+    JJ = np.einsum("cal,cbl->cab", Jinv, Jinv)
+    eye = np.eye(3)
+    C = (mu * JJ[:, :, :, None, None] * eye[None, None, None, :, :]
+         + mu * np.einsum("cas,cbr->cabrs", Jinv, Jinv)
+         + lam * np.einsum("car,cbs->cabrs", Jinv, Jinv))
+    C = C * adet[:, None, None, None, None]
+    return (C.reshape(-1, 81) @ TT).reshape(-1, 3 * n, 3 * n)
+
+
 def assemble_operator(space, bc: Optional[DirichletBC], problem: str,
                       dtype=np.float32, chunk: int = 1 << 18):
     """Assemble the stiffness operator into an ELLMatrix with BC rows/cols
     zeroed and unit diagonal on BC dofs.
 
     problem: "poisson" | "elasticity".  Element tensors are computed on
-    device in chunks (float32 geometry is adequate: entries are O(h)
-    combinations of coordinates; validated against float64 in tests).
+    the host in float64 chunks (setup phase; the device kernels serve the
+    solve-time matrix-free paths and are verified equal in tests).
     """
     coords_all = space.mesh.cell_coords()
     cell_dofs = space.cell_dofs
@@ -204,19 +246,16 @@ def assemble_operator(space, bc: Optional[DirichletBC], problem: str,
     bs = space.bs
 
     if problem == "poisson":
-        kern = jax.jit(lambda c: kernels.poisson_stiffness_cells(
-            c, space.order, dtype=jnp.float64))
+        kern = lambda c: _poisson_stiffness_np(c, space.order)
     elif problem == "elasticity":
-        kern = jax.jit(lambda c: kernels.elasticity_stiffness_cells(
-            c, space.order, dtype=jnp.float64))
+        kern = lambda c: _elasticity_stiffness_np(c, space.order)
     else:
         raise ValueError(problem)
 
     rows_parts, cols_parts, vals_parts = [], [], []
-    ii = np.arange(n)
     for start in range(0, C, chunk):
         end = min(start + chunk, C)
-        A = np.asarray(kern(jnp.asarray(coords_all[start:end])))  # [c, bn, bn]
+        A = kern(coords_all[start:end])  # [c, bn, bn]
         cd = cell_dofs[start:end]
         r = np.repeat(cd, n, axis=1)            # [c, n*n] block rows
         cidx = np.tile(cd, (1, n))              # [c, n*n] block cols

@@ -30,15 +30,7 @@ from tpufem.parallel.indexmap import (ShardIndexMaps, build_index_maps,
                                       scatter_rev_add)
 
 
-def _metric_np(coords: np.ndarray) -> np.ndarray:
-    """Host float64 per-cell metric |detJ| Jinv Jinv^T (numpy twin of
-    kernels.metric_tensors, used at setup so no device f64 is needed)."""
-    E = coords[:, 1:4, :] - coords[:, 0:1, :]
-    J = np.swapaxes(E, 1, 2)
-    det = np.linalg.det(J)
-    Jinv = np.linalg.inv(J)
-    G = np.einsum("cal,cbl->cab", Jinv, Jinv) * np.abs(det)[:, None, None]
-    return G
+from tpufem.fem.assemble import metric_np as _metric_np
 
 
 def slab_ranges(nz: int, nshards: int) -> list:
@@ -77,11 +69,8 @@ class ShardedPoissonCG:
             bc = DirichletBC.from_space(space_g, facets)
             bc_dofs = bc.flat_dofs()
             if b_global is None:
-                from tpufem.fem.assemble import DofScatter
-                from tpufem.problems.poisson import assemble_poisson_rhs
-                scatter = DofScatter(space_g.cell_dofs, space_g.ndofs_scalar)
-                b_global = np.array(
-                    assemble_poisson_rhs(space_g, scatter, jnp.float64))
+                from tpufem.problems.poisson import assemble_poisson_rhs_np
+                b_global = assemble_poisson_rhs_np(space_g)
                 b_global[bc_dofs] = 0.0  # cgpoisson convention (b[bc]=0)
             ndofs = space_g.ndofs_scalar
         else:

@@ -67,8 +67,11 @@ class MatFreePoissonOp:
 
 def make_action(space: FunctionSpace, bc: DirichletBC, scatter: DofScatter,
                 dtype) -> MatFreePoissonOp:
-    coords = jnp.asarray(space.mesh.cell_coords(), dtype=jnp.float64)
-    G = kernels.metric_tensors(coords, dtype=jnp.float64).astype(dtype)
+    # per-cell metric computed on host in f64 (exact, no device-f64
+    # emulation), shipped to the device in the solve dtype
+    from tpufem.fem.assemble import metric_np
+    G_np = metric_np(space.mesh.cell_coords())
+    G = jnp.asarray(G_np.astype(np.dtype(dtype)))
     cd = jnp.asarray(space.cell_dofs.astype(np.int32))
     bc_flat = jnp.asarray(bc.flat_dofs().astype(np.int32))
     return MatFreePoissonOp(G, cd, bc_flat, scatter, space.order)

@@ -52,6 +52,36 @@ def assemble_poisson_rhs(space: FunctionSpace, scatter: DofScatter,
     return b
 
 
+def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
+    """Host float64 twin of assemble_poisson_rhs (setup-phase use, e.g.
+    building the sharded RHS without device f64)."""
+    from tpufem.fem.assemble import _geometry_np
+    mesh = space.mesh
+    el = space.element
+    f = space.interpolate(common.poisson_f)
+    g = space.interpolate(common.poisson_g)
+    cd = space.cell_dofs
+    coords = mesh.cell_coords()
+    _, adet = _geometry_np(coords)
+    b_cells = (f[cd] @ el.mass_tensor.T) * adet[:, None]
+    b = np.bincount(cd.reshape(-1), weights=b_cells.reshape(-1),
+                    minlength=space.ndofs_scalar)
+
+    facets = mesh.boundary_faces()
+    cells, lf = common.facet_to_cell(mesh.cell_faces(), facets)
+    from tpufem.mesh.structured import LOCAL_FACES
+    tri_idx = LOCAL_FACES[lf]
+    tri = np.take_along_axis(coords[cells], tri_idx[:, :, None], axis=1)
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    area2 = np.linalg.norm(np.cross(e1, e2), axis=-1)
+    S = el.facet_mass_tensors[lf]  # [F, n, n]
+    contrib = np.einsum("fij,fj->fi", S, g[cd[cells]]) * area2[:, None]
+    b += np.bincount(cd[cells].reshape(-1), weights=contrib.reshape(-1),
+                     minlength=space.ndofs_scalar)
+    return b
+
+
 def problem(mesh, order: int, cfg: Config) -> common.Problem:
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
 
