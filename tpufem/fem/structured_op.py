@@ -1,0 +1,287 @@
+"""Lattice-structured matrix-free operators (the cube-mesh fast path).
+
+TPU microbenchmarks (see bench notes in git history) put random gathers
+at ~50 ms and gather+segment-sum at ~135 ms per 500k-dof operator apply,
+while shifted-slice (stencil) traffic runs at ~0.35 ms.  The reference's
+generic per-cell re-assembly (src/cgpoisson_problem.cpp:193-204) maps to
+the slow pattern — so the TPU-native design exploits what the benchmark
+mesh actually is: a translation-invariant lattice.
+
+Key facts used:
+- every cube of the Kuhn mesh contains the same 6 tetrahedron shapes;
+  each shape's Jacobian is CONSTANT across the lattice, so each of the 6
+  per-perm element matrices A_p [n, n] is a single constant matrix;
+- every dof belongs to a typed sub-lattice (vertex grid, 7 edge grids,
+  12 face grids — tpufem.mesh.structured), and a cell's local dof l of
+  tet perm p always sits at a constant lattice offset from the cube
+  corner.
+
+Hence the operator action is:
+
+  for each perm p:  gather n shifted SLICES of the dof grids ->
+  one [Q, n] @ [n, n] matmul (MXU) -> scatter-add n shifted slices back
+
+with zero gather/scatter instructions — only contiguous slice reads and
+pad-adds, which XLA lowers to pure vector ops.  The same machinery
+yields the operator diagonal (for Jacobi/Chebyshev smoothing) and serves
+both the matrix-free cgpoisson path and the assembled-equivalent SpMV
+  A_bc @ x = where(bc, x, A(where(bc, 0, x)))
+(BC rows/cols zeroed + unit diagonal, reference poisson_problem.cpp:134).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.reference import ReferenceTet
+from tpufem.mesh.structured import (CELL_VERTEX_OFFSETS, EDGE_TYPES,
+                                    FACE_TYPES, LOCAL_EDGES, LOCAL_FACES,
+                                    _EDGE_TYPE_OF, _FACE_TYPE_OF, BoxTetMesh)
+
+# ---------------------------------------------------------------------------
+# Dof-grid layout: typed sub-lattices of the scalar dof numbering
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GridLayout:
+    """Where each typed dof grid lives inside the flat dof vector.
+
+    kinds: list of (base offset, dims (X, Y, Z), slots) — slots = dofs per
+    entity ((k-1) for edges); grid g reshapes the flat segment
+    [base : base + X*Y*Z*slots] to [Z, Y, X, slots].
+    """
+
+    order: int
+    Nx: int
+    Ny: int
+    Nz: int
+    kinds: Tuple  # tuple of (base, (X, Y, Z), slots)
+
+    @property
+    def ndofs(self) -> int:
+        b, dims, s = self.kinds[-1]
+        return b + int(np.prod(dims)) * s
+
+    def split(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        """Flat [ndofs(, c)] -> list of [Z, Y, X, slots(, c)] grids."""
+        out = []
+        comp = x.shape[1:]  # () or (bs,)
+        for base, (X, Y, Z), s in self.kinds:
+            seg = x[base: base + X * Y * Z * s]
+            out.append(seg.reshape((Z, Y, X, s) + comp))
+        return out
+
+    def join(self, grids: List[jnp.ndarray]) -> jnp.ndarray:
+        comp = grids[0].shape[4:]
+        return jnp.concatenate(
+            [g.reshape((-1,) + comp) for g in grids], axis=0)
+
+
+def grid_layout(mesh: BoxTetMesh, order: int) -> GridLayout:
+    """Dof numbering of tpufem.fem.space as typed grids: vertices first,
+    then the 7 edge-type blocks ((k-1) slots each), then 12 face types."""
+    Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
+    kinds = [(0, (Nx + 1, Ny + 1, Nz + 1), 1)]
+    base = (Nx + 1) * (Ny + 1) * (Nz + 1)
+    k = order
+    if k >= 2:
+        dims = mesh._edge_dims()
+        for t in range(7):
+            X, Y, Z = int(dims[t][0]), int(dims[t][1]), int(dims[t][2])
+            kinds.append((base, (X, Y, Z), k - 1))
+            base += X * Y * Z * (k - 1)
+    if k >= 3:
+        dims = mesh._face_dims()
+        for t in range(12):
+            X, Y, Z = int(dims[t][0]), int(dims[t][1]), int(dims[t][2])
+            kinds.append((base, (X, Y, Z), 1))
+            base += X * Y * Z
+    return GridLayout(order=k, Nx=Nx, Ny=Ny, Nz=Nz, kinds=tuple(kinds))
+
+
+# ---------------------------------------------------------------------------
+# Slice plans: (perm, local dof) -> (grid kind, lattice offset, slot)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def dof_slice_plan(order: int) -> Tuple[Tuple[Tuple[int, Tuple[int, int, int], int], ...], ...]:
+    """plan[p][l] = (kind index, (dx, dy, dz) cube offset, slot).
+
+    kind index: 0 = vertices, 1..7 = edge types, 8..19 = face types.
+    Slot accounts for edge-dof orientation: the local edge's direction vs
+    the anchored (min -> max) global direction is constant per (p, le).
+    """
+    k = order
+    plans = []
+    for p in range(6):
+        offs = CELL_VERTEX_OFFSETS[p]  # [4, 3]
+        entries = []
+        for l in range(4):  # vertex dofs
+            entries.append((0, tuple(int(v) for v in offs[l]), 0))
+        if k >= 2:
+            for le, (a, b) in enumerate(LOCAL_EDGES):
+                va, vb = offs[a], offs[b]
+                anchor = np.minimum(va, vb)
+                d = tuple(np.abs(vb - va))
+                etype = _EDGE_TYPE_OF[d]
+                flipped = bool(np.any(va > vb))
+                for s in range(k - 1):
+                    slot = (k - 2 - s) if flipped else s
+                    entries.append((1 + etype,
+                                    tuple(int(v) for v in anchor), slot))
+        if k >= 3:
+            for lf, (a, b, c) in enumerate(LOCAL_FACES):
+                tri = np.stack([offs[a], offs[b], offs[c]])
+                anchor = tri.min(axis=0)
+                top = tri.max(axis=0)
+                mid = tri.sum(axis=0) - anchor - top
+                ftype = _FACE_TYPE_OF[(tuple(mid - anchor), tuple(top - anchor))]
+                entries.append((8 + ftype, tuple(int(v) for v in anchor), 0))
+        plans.append(tuple(entries))
+    return tuple(plans)
+
+
+# ---------------------------------------------------------------------------
+# Constant per-perm element matrices
+# ---------------------------------------------------------------------------
+
+
+def perm_element_matrices(mesh: BoxTetMesh, order: int,
+                          problem: str = "poisson") -> np.ndarray:
+    """[6, n, n] (scalar) or [6, 3n, 3n] constant element matrices.
+
+    Exact because every cube's 6 tets are translates of the 6 shapes at
+    the origin cube (anisotropic in (1/Nx, 1/Ny, 1/Nz))."""
+    h = np.array([1.0 / mesh.Nx, 1.0 / mesh.Ny, 1.0 / mesh.Nz])
+    coords = CELL_VERTEX_OFFSETS.astype(np.float64) * h[None, None, :]  # [6,4,3]
+    if problem == "poisson":
+        from tpufem.fem.assemble import _poisson_stiffness_np
+        return _poisson_stiffness_np(coords, order)
+    if problem == "elasticity":
+        from tpufem.fem.assemble import _elasticity_stiffness_np
+        return _elasticity_stiffness_np(coords, order)
+    raise ValueError(problem)
+
+
+# ---------------------------------------------------------------------------
+# The structured operator
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class StructuredOperator:
+    """Constant-stencil matrix-free operator on a BoxTetMesh.
+
+    bs = 1 (Poisson) or 3 (elasticity, component-interleaved grids).
+    ``bc_mask`` is the flat [ndofs*bs] boolean Dirichlet mask; apply()
+    implements the BC-eliminated operator
+      y = where(bc, x, A(where(bc, 0, x)))
+    which equals the reference's assembled matrix after zeroing BC
+    rows/cols and setting a unit diagonal.
+    """
+
+    Ap: jnp.ndarray             # [6, n*bs, n*bs]
+    bc_mask: jnp.ndarray        # [ndofs * bs] bool (may be all-False)
+    layout: GridLayout          # static
+    bs: int                     # static
+
+    def tree_flatten(self):
+        return (self.Ap, self.bc_mask), (self.layout, self.bs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        Ap, bc = children
+        layout, bs = aux
+        return cls(Ap, bc, layout, bs)
+
+    # -- construction ----------------------------------------------------------
+    @classmethod
+    def build(cls, mesh: BoxTetMesh, order: int, problem: str = "poisson",
+              bc_dofs: Optional[np.ndarray] = None,
+              dtype=jnp.float32) -> "StructuredOperator":
+        bs = 3 if problem == "elasticity" else 1
+        layout = grid_layout(mesh, order)
+        Ap = perm_element_matrices(mesh, order, problem)
+        nd = layout.ndofs * bs
+        mask = np.zeros(nd, dtype=bool)
+        if bc_dofs is not None:
+            mask[bc_dofs] = True
+        return cls(jnp.asarray(Ap.astype(np.dtype(dtype))),
+                   jnp.asarray(mask), layout, bs)
+
+    # -- raw action (no BC) ------------------------------------------------------
+    def apply_raw(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A_unconstrained @ x via shifted slices + constant matmuls."""
+        lay = self.layout
+        plan = dof_slice_plan(lay.order)
+        Nx, Ny, Nz = lay.Nx, lay.Ny, lay.Nz
+        bs = self.bs
+        xr = x.reshape((-1, bs)) if bs > 1 else x.reshape((-1, 1))
+        grids = lay.split(xr)  # list of [Z, Y, X, slots, bs]
+        out = [jnp.zeros_like(g) for g in grids]
+        n = len(plan[0])
+
+        for p in range(6):
+            cols = []
+            for (kind, (dx, dy, dz), slot) in plan[p]:
+                g = grids[kind]
+                sl = g[dz: dz + Nz, dy: dy + Ny, dx: dx + Nx, slot]  # [Z,Y,X,bs]
+                cols.append(sl)
+            u = jnp.stack(cols, axis=-2)  # [Z, Y, X, n, bs]
+            u = u.reshape(-1, n * bs) if bs > 1 else u.reshape(-1, n)
+            if bs > 1:
+                # element matrices are (i, r)-interleaved: [n*bs, n*bs]
+                y = u @ self.Ap[p].T
+                y = y.reshape(Nz, Ny, Nx, n, bs)
+            else:
+                y = (u @ self.Ap[p].T).reshape(Nz, Ny, Nx, n, 1)
+            for l, (kind, (dx, dy, dz), slot) in enumerate(plan[p]):
+                out[kind] = out[kind].at[
+                    dz: dz + Nz, dy: dy + Ny, dx: dx + Nx, slot].add(y[..., l, :])
+
+        yflat = lay.join(out)  # [ndofs, bs]
+        return yflat.reshape(-1) if bs > 1 else yflat.reshape(-1)
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        """BC-eliminated operator (zeroed rows/cols, unit diagonal)."""
+        x0 = jnp.where(self.bc_mask, 0.0, x)
+        y = self.apply_raw(x0)
+        return jnp.where(self.bc_mask, x, y)
+
+    def apply_bc_rows_zero(self, x: jnp.ndarray) -> jnp.ndarray:
+        """cgpoisson convention: zero BC rows only
+        (reference cgpoisson_problem.cpp:207)."""
+        y = self.apply_raw(x)
+        return jnp.where(self.bc_mask, 0.0, y)
+
+    # -- diagonal ------------------------------------------------------------
+    def diagonal(self) -> jnp.ndarray:
+        """Flat operator diagonal (BC rows get 1), for Jacobi/Chebyshev."""
+        lay = self.layout
+        plan = dof_slice_plan(lay.order)
+        Nx, Ny, Nz = lay.Nx, lay.Ny, lay.Nz
+        bs = self.bs
+        grids = [jnp.zeros(g_shape + (bs,), dtype=self.Ap.dtype)
+                 for g_shape in [( (k[1][2], k[1][1], k[1][0], k[2]) )
+                                 for k in lay.kinds]]
+        for p in range(6):
+            for l, (kind, (dx, dy, dz), slot) in enumerate(plan[p]):
+                if bs == 1:
+                    d = self.Ap[p, l, l]
+                    add = jnp.full((Nz, Ny, Nx, 1), d, dtype=self.Ap.dtype)
+                else:
+                    d = jnp.diagonal(self.Ap[p])[l * bs: (l + 1) * bs]
+                    add = jnp.broadcast_to(d, (Nz, Ny, Nx, bs))
+                grids[kind] = grids[kind].at[
+                    dz: dz + Nz, dy: dy + Ny, dx: dx + Nx, slot].add(add)
+        flat = lay.join(grids).reshape(-1)
+        return jnp.where(self.bc_mask, 1.0, flat)
