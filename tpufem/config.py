@@ -29,7 +29,9 @@ class SolverOptions:
     ksp_type: str = "cg"                 # "cg" (only Krylov method the reference uses)
     ksp_rtol: float = 1.0e-8             # README.md:72 -ksp_rtol 1.0e-8
     ksp_max_it: int = 500
-    pc_type: str = "amg"                 # "amg" | "jacobi" | "none"
+    pc_type: str = "auto"                # auto | gmg | amg | jacobi | none
+    # auto = geometric multigrid on the structured cube mesh, SA-AMG on
+    # unstructured meshes (both replace PETSc GAMG / Hypre BoomerAMG)
     # SA-AMG controls (functional equivalent of GAMG/BoomerAMG knobs)
     amg_coarse_eq_limit: int = 1000      # README.md:77 -pc_gamg_coarse_eq_limit 1000
     amg_strength_threshold: float = 0.0  # SA strength-of-connection drop tolerance

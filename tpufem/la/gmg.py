@@ -1,0 +1,321 @@
+"""Structured geometric multigrid (the cube-path preconditioner).
+
+On the benchmark's structured mesh, algebraic multigrid's unstructured
+coarse operators force random gathers — the slowest primitive on TPU
+(see tpufem.fem.structured_op).  Nested Kuhn lattices admit an exact
+geometric hierarchy instead, with every ingredient a stencil/slice op:
+
+- h-coarsening: lattice (Nx, Ny, Nz) -> (Nx/2, ...); P1 prolongation is
+  linear interpolation on the coarse tet mesh — every fine vertex is the
+  midpoint of a coarse vertex pair (or a coarse vertex itself), because
+  Kuhn edges include the face/body diagonals;
+- p-coarsening (order >= 2): one transfer from P_k to P1 on the same
+  lattice by point evaluation of the linear field at edge/face nodes;
+- level operators: re-discretized constant-stencil StructuredOperator
+  with per-level Dirichlet masks (spaces are nested, so this matches the
+  Galerkin operator for interior dofs);
+- smoother: Chebyshev/Jacobi (the GAMG smoother the reference
+  recommends, README.md:78), lmax by device power iteration at setup;
+- coarse solve: dense inverse (coarse_eq_limit analogue).
+
+This replaces BoomerAMG/GAMG on the cube path; tpufem.la.amg remains the
+algebraic fallback for unstructured meshes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.structured_op import StructuredOperator, dof_slice_plan
+from tpufem.la.chebyshev import chebyshev_smoother
+from tpufem.mesh.structured import EDGE_TYPES, FACE_TYPES, BoxTetMesh
+
+
+# ---------------------------------------------------------------------------
+# Transfers (all shifted-slice ops; adjoint pairs verified in tests)
+# ---------------------------------------------------------------------------
+
+
+def prolong_h(c: jnp.ndarray, fine_dims: Tuple[int, int, int]) -> jnp.ndarray:
+    """P1 vertex-grid prolongation coarse -> fine (2x per axis).
+
+    c: [Zc+1, Yc+1, Xc+1, ...]; every fine vertex f equals the average of
+    coarse vertices floor(f/2) and ceil(f/2) (equal when f is even)."""
+    Nx, Ny, Nz = fine_dims
+    f = jnp.zeros((Nz + 1, Ny + 1, Nx + 1) + c.shape[3:], dtype=c.dtype)
+    for oz, oy, ox in itertools.product((0, 1), repeat=3):
+        lo = c[: c.shape[0] - oz, : c.shape[1] - oy, : c.shape[2] - ox]
+        hi = c[oz:, oy:, ox:]
+        f = f.at[oz::2, oy::2, ox::2].set(0.5 * (lo + hi))
+    return f
+
+
+def restrict_h(f: jnp.ndarray, coarse_dims: Tuple[int, int, int]) -> jnp.ndarray:
+    """Adjoint of prolong_h (fine vertex grid -> coarse vertex grid)."""
+    Nxc, Nyc, Nzc = coarse_dims
+    c = jnp.zeros((Nzc + 1, Nyc + 1, Nxc + 1) + f.shape[3:], dtype=f.dtype)
+    for oz, oy, ox in itertools.product((0, 1), repeat=3):
+        part = 0.5 * f[oz::2, oy::2, ox::2]
+        zsl = slice(0, c.shape[0] - oz)
+        ysl = slice(0, c.shape[1] - oy)
+        xsl = slice(0, c.shape[2] - ox)
+        c = c.at[zsl, ysl, xsl].add(part)
+        c = c.at[slice(oz, None), slice(oy, None), slice(ox, None)].add(part)
+    return c
+
+
+def prolong_p(v: jnp.ndarray, op_fine: StructuredOperator) -> jnp.ndarray:
+    """P1 -> P_k on the same lattice: point evaluation of the linear
+    field at the P_k nodes (vertex copy; edge nodes at parameter t get
+    (1-t) va + t vb; face centroids get the 3-vertex average)."""
+    from tpufem.fem.reference import _edge_interior_params
+    lay = op_fine.layout
+    k = lay.order
+    bs = v.shape[-1] if v.ndim == 4 else 1
+    grids_out = []
+    # vertex grid passthrough
+    grids_out.append(v[..., None, :] if v.ndim == 4 else v[..., None])
+    tparams = _edge_interior_params(k, "gll_warped")
+    kinds = lay.kinds
+    idx = 1
+    if k >= 2:
+        for t in range(7):
+            base, (X, Y, Z), slots = kinds[idx]; idx += 1
+            d = EDGE_TYPES[t]
+            va = v[: Z, : Y, : X]
+            vb = v[d[2]: d[2] + Z, d[1]: d[1] + Y, d[0]: d[0] + X]
+            cols = [((1 - tt) * va + tt * vb) for tt in tparams]
+            grids_out.append(jnp.stack(cols, axis=3))
+    if k >= 3:
+        for t in range(12):
+            base, (X, Y, Z), slots = kinds[idx]; idx += 1
+            o1, o2 = FACE_TYPES[t]
+            v0 = v[: Z, : Y, : X]
+            v1 = v[o1[2]: o1[2] + Z, o1[1]: o1[1] + Y, o1[0]: o1[0] + X]
+            v2 = v[o2[2]: o2[2] + Z, o2[1]: o2[1] + Y, o2[0]: o2[0] + X]
+            grids_out.append(((v0 + v1 + v2) / 3.0)[..., None, :]
+                             if v.ndim == 4 else ((v0 + v1 + v2) / 3.0)[..., None])
+    return lay.join([g if g.ndim >= 4 else g[..., None] for g in grids_out])
+
+
+def restrict_p(r_flat: jnp.ndarray, op_fine: StructuredOperator,
+               bs: int) -> jnp.ndarray:
+    """Adjoint of prolong_p: P_k residual -> P1 vertex grid."""
+    from tpufem.fem.reference import _edge_interior_params
+    lay = op_fine.layout
+    k = lay.order
+    comp = (bs,) if bs > 1 else (1,)
+    rr = r_flat.reshape((-1,) + comp)
+    grids = lay.split(rr)
+    Nx, Ny, Nz = lay.Nx, lay.Ny, lay.Nz
+    out = grids[0][..., 0, :]  # vertex part [Z+1, Y+1, X+1, bs]
+    tparams = _edge_interior_params(k, "gll_warped")
+    idx = 1
+    if k >= 2:
+        for t in range(7):
+            g = grids[idx]; idx += 1  # [Z, Y, X, k-1, bs]
+            d = EDGE_TYPES[t]
+            Z, Y, X = g.shape[0], g.shape[1], g.shape[2]
+            for s, tt in enumerate(tparams):
+                out = out.at[: Z, : Y, : X].add((1 - tt) * g[..., s, :])
+                out = out.at[d[2]: d[2] + Z, d[1]: d[1] + Y,
+                             d[0]: d[0] + X].add(tt * g[..., s, :])
+    if k >= 3:
+        for t in range(12):
+            g = grids[idx][..., 0, :]; idx += 1
+            o1, o2 = FACE_TYPES[t]
+            Z, Y, X = g.shape[0], g.shape[1], g.shape[2]
+            third = g / 3.0
+            out = out.at[: Z, : Y, : X].add(third)
+            out = out.at[o1[2]: o1[2] + Z, o1[1]: o1[1] + Y,
+                         o1[0]: o1[0] + X].add(third)
+            out = out.at[o2[2]: o2[2] + Z, o2[1]: o2[1] + Y,
+                         o2[0]: o2[0] + X].add(third)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class _GLevel:
+    op: StructuredOperator
+    dinv: jnp.ndarray
+    lmax: float                 # static
+
+    def tree_flatten(self):
+        return (self.op, self.dinv), self.lmax
+
+    @classmethod
+    def tree_unflatten(cls, lmax, children):
+        return cls(*children, lmax)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GMG:
+    """Geometric multigrid preconditioner for BoxTetMesh problems."""
+
+    levels: List[_GLevel]       # level 0 = finest (order k), 1.. = P1 grids
+    coarse_inv: jnp.ndarray
+    coarse_bc_mask: jnp.ndarray
+    dims: Tuple                 # static: per-level (Nx, Ny, Nz)
+    order: int                  # static: fine order (p-transfer if > 1)
+    bs: int                     # static
+    smoother_degree: int        # static
+
+    def tree_flatten(self):
+        return (self.levels, self.coarse_inv, self.coarse_bc_mask), (
+            self.dims, self.order, self.bs, self.smoother_degree)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        levels, coarse_inv, coarse_bc = children
+        dims, order, bs, degree = aux
+        return cls(list(levels), coarse_inv, coarse_bc, dims, order, bs, degree)
+
+    # -- setup -----------------------------------------------------------------
+    @classmethod
+    def setup(cls, mesh: BoxTetMesh, order: int, problem: str,
+              bc_marker: Callable, dtype=jnp.float32,
+              coarse_limit: int = 1000, smoother_degree: int = 2,
+              max_levels: int = 12) -> "GMG":
+        from tpufem.fem.dirichlet import DirichletBC
+        from tpufem.fem.space import FunctionSpace
+
+        bs = 3 if problem == "elasticity" else 1
+
+        def make_level(m: BoxTetMesh, k: int) -> StructuredOperator:
+            space = FunctionSpace(m, k, bs=bs)
+            facets = m.locate_boundary_facets(bc_marker)
+            bc = DirichletBC.from_space(space, facets)
+            return StructuredOperator.build(m, k, problem,
+                                            bc_dofs=bc.flat_dofs(),
+                                            dtype=dtype)
+
+        meshes = [mesh]
+        orders = [order]
+        if order > 1:
+            meshes.append(mesh)
+            orders.append(1)
+        while True:
+            m = meshes[-1]
+            ndofs_here = (m.Nx + 1) * (m.Ny + 1) * (m.Nz + 1) * bs
+            if (ndofs_here <= coarse_limit or len(meshes) >= max_levels
+                    or m.Nx % 2 or m.Ny % 2 or m.Nz % 2
+                    or min(m.Nx, m.Ny, m.Nz) < 4):
+                break
+            meshes.append(BoxTetMesh(m.Nx // 2, m.Ny // 2, m.Nz // 2))
+            orders.append(1)
+        mC = meshes[-1]
+        coarse_ndofs = (mC.Nx + 1) * (mC.Ny + 1) * (mC.Nz + 1) * bs
+        if coarse_ndofs > 50 * coarse_limit:
+            raise ValueError(
+                f"GMG coarsest level has {coarse_ndofs} dofs "
+                f"(dims {mC.Nx}x{mC.Ny}x{mC.Nz}); pick lattice dims "
+                f"divisible by 2^levels (compute_box_size_structured)")
+
+        levels: List[_GLevel] = []
+        for m, k in zip(meshes[:-1], orders[:-1]):
+            op = make_level(m, k)
+            dinv = 1.0 / op.diagonal()
+            lmax = _device_lmax(op, dinv)
+            levels.append(_GLevel(op=op, dinv=dinv, lmax=lmax))
+
+        # coarsest: dense inverse of the assembled BC-eliminated operator
+        kC = orders[-1]
+        from tpufem.fem.assemble import assemble_operator
+        from tpufem.fem.space import FunctionSpace as FS
+        space_c = FS(mC, kC, bs=bs)
+        facets_c = mC.locate_boundary_facets(bc_marker)
+        bc_c = DirichletBC.from_space(space_c, facets_c)
+        _, csr = assemble_operator(space_c, bc_c, problem, dtype=np.float64)
+        indptr, indices, data = csr
+        import scipy.sparse as sp
+        if data.ndim == 3:
+            n = (indptr.shape[0] - 1) * bs
+            Ad = sp.bsr_matrix((data, indices, indptr), shape=(n, n)).toarray()
+        else:
+            Ad = sp.csr_matrix((data, indices, indptr)).toarray()
+        coarse_inv = jnp.asarray(np.linalg.inv(Ad), dtype=dtype)
+        cmask = np.zeros(coarse_ndofs, dtype=bool)
+        cmask[bc_c.flat_dofs()] = True
+
+        dims = tuple((m.Nx, m.Ny, m.Nz) for m in meshes)
+        return cls(levels=levels, coarse_inv=coarse_inv,
+                   coarse_bc_mask=jnp.asarray(cmask), dims=dims,
+                   order=order, bs=bs, smoother_degree=smoother_degree)
+
+    # -- V-cycle -----------------------------------------------------------------
+    def _to_grid(self, x: jnp.ndarray, dims) -> jnp.ndarray:
+        Nx, Ny, Nz = dims
+        return x.reshape((Nz + 1, Ny + 1, Nx + 1) +
+                         ((self.bs,) if self.bs > 1 else (1,)))
+
+    def _to_flat(self, g: jnp.ndarray) -> jnp.ndarray:
+        return g.reshape(-1)
+
+    def _bc_mask_of(self, i: int) -> jnp.ndarray:
+        if i == len(self.levels):
+            return self.coarse_bc_mask
+        return self.levels[i].op.bc_mask
+
+    def vcycle(self, r: jnp.ndarray, i: int = 0) -> jnp.ndarray:
+        if i == len(self.levels):
+            return self.coarse_inv @ r
+        lv = self.levels[i]
+        smooth = chebyshev_smoother(lv.op.apply, lv.dinv, lv.lmax,
+                                    degree=self.smoother_degree)
+        x = smooth(jnp.zeros_like(r), r)
+        rr = r - lv.op.apply(x)
+        # symmetric BC-filtered transfers: P~ = (I - bc_f) P (I - bc_c),
+        # so the preconditioner stays SPD for PCG
+        rr = jnp.where(lv.op.bc_mask, 0.0, rr)
+        p_transfer = (self.order > 1 and i == 0)
+        if p_transfer:
+            rc = restrict_p(rr, lv.op, self.bs).reshape(-1)
+        else:
+            fg = self._to_grid(rr, self.dims[i])
+            rc = self._to_flat(restrict_h(fg, self.dims[i + 1]))
+        rc = jnp.where(self._bc_mask_of(i + 1), 0.0, rc)
+        xc = self.vcycle(rc, i + 1)
+        xc = jnp.where(self._bc_mask_of(i + 1), 0.0, xc)
+        if p_transfer:
+            vg = self._to_grid(xc, self.dims[1])
+            e = prolong_p(vg, lv.op).reshape(-1)
+        else:
+            cg = self._to_grid(xc, self.dims[i + 1])
+            e = self._to_flat(prolong_h(cg, self.dims[i]))
+        e = jnp.where(lv.op.bc_mask, 0.0, e)
+        x = x + e
+        return smooth(x, r)
+
+
+def _device_lmax(op: StructuredOperator, dinv: jnp.ndarray,
+                 iters: int = 20) -> float:
+    """Power-iteration estimate of lambda_max(D^-1 A) in one dispatch."""
+    n = dinv.shape[0]
+    v0 = jnp.asarray(np.random.default_rng(0).standard_normal(n),
+                     dtype=dinv.dtype)
+
+    @jax.jit
+    def run(v):
+        def body(i, carry):
+            v, lam = carry
+            w = dinv * op.apply(v)
+            lam = jnp.linalg.norm(w)
+            return (w / lam, lam)
+        v = v / jnp.linalg.norm(v)
+        _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.asarray(1.0, dinv.dtype)))
+        return lam
+
+    return float(run(v0))

@@ -98,6 +98,44 @@ def compute_box_size(target_dofs: int, strong_scaling: bool, dofs_per_node: int,
     return Nx, Ny, Nz, r
 
 
+def compute_box_size_structured(target_dofs: int, strong_scaling: bool,
+                                dofs_per_node: int, order: int,
+                                num_shards: int,
+                                levels: int = 4) -> Tuple[int, int, int, int]:
+    """GMG-friendly sizing: dims divisible by 2^levels so the geometric
+    multigrid hierarchy (tpufem.la.gmg) can coarsen ``levels`` times.
+
+    Same dof-targeting contract as compute_box_size; the dyadic factor
+    plays the role of the reference's refinement parameter r
+    (src/mesh.cpp:100-126) — here it additionally fixes the multigrid
+    depth.  Returns (Nx, Ny, Nz, levels_used).
+    """
+    N = target_dofs // dofs_per_node
+    if not strong_scaling:
+        N = target_dofs * num_shards // dofs_per_node
+
+    # cubic lattice size that reaches N
+    s = 1
+    while num_pdofs(s, s, s, 0, order) < N:
+        s += 1
+
+    while levels > 0:
+        m = 1 << levels
+        a0 = max(2, round(s / m))
+        if a0 >= 3 or levels == 1:
+            best = None
+            for a in range(max(a0 - 2, 2), a0 + 3):
+                for b in range(max(a0 - 2, 2), a0 + 3):
+                    for c in range(max(a0 - 2, 2), a0 + 3):
+                        diff = abs(num_pdofs(a * m, b * m, c * m, 0, order) - N)
+                        if best is None or diff < best[0]:
+                            best = (diff, a, b, c)
+            _, a, b, c = best
+            return a * m, b * m, c * m, levels
+        levels -= 1
+    raise RuntimeError("unreachable")
+
+
 # ---------------------------------------------------------------------------
 # Closed-form entity numbering
 # ---------------------------------------------------------------------------

@@ -88,26 +88,35 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         facets = mesh.locate_boundary_facets(common.poisson_bc_marker)
         bc = DirichletBC.from_space(space, facets)
 
-    with Timer("ZZZ Create RHS function"):
-        scatter = DofScatter(space.cell_dofs, space.ndofs_scalar)
-
     with Timer("ZZZ Assemble vector"):
-        b = assemble_poisson_rhs(space, scatter, dtype)
+        from tpufem.problems.poisson import assemble_poisson_rhs_np
+        b_np = assemble_poisson_rhs_np(space)
         # matrix-free lifting: un = -u0 on BC dofs, assemble M into b
         # (cgpoisson_problem.cpp:159-162); u0 = 0 so it vanishes here.
         # BC dofs of b zeroed (zeroes the columns of A;
         # cgpoisson_problem.cpp:168)
-        b = jnp.asarray(bc.set(b, 0.0))
-        b.block_until_ready()
+        b_np[bc.flat_dofs()] = 0.0
+        b = jnp.asarray(b_np.astype(np.dtype(dtype)))
 
     u = jnp.zeros(space.ndofs, dtype=dtype)
-    op = make_action(space, bc, scatter, dtype)
+    from tpufem.mesh.structured import BoxTetMesh
+    if isinstance(mesh, BoxTetMesh):
+        # constant-stencil matrix-free action: zero gather/scatter
+        # (the TPU-fast path; ~150x the throughput of gather+segment_sum)
+        from tpufem.fem.structured_op import StructuredOperator
+        op = StructuredOperator.build(mesh, order, "poisson",
+                                      bc_dofs=bc.flat_dofs(), dtype=dtype)
+        apply_of = lambda o: o.apply_bc_rows_zero
+    else:
+        scatter = DofScatter(space.cell_dofs, space.ndofs_scalar)
+        op = make_action(space, bc, scatter, dtype)
+        apply_of = lambda o: o.apply
     solver = cfg.solver
     rtol = float(solver.extra.get("cg_rtol", 1e-6))
     kmax = int(solver.extra.get("cg_kmax", 100))
     solver._consumed.update(("cg_rtol", "cg_kmax"))
 
-    run = jax.jit(lambda op, x0, rhs: cg_solve(op.apply, rhs, x0=x0,
+    run = jax.jit(lambda op, x0, rhs: cg_solve(apply_of(op), rhs, x0=x0,
                                                rtol=rtol, maxit=kmax))
 
     def solver_function(u0: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, int]:

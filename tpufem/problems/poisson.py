@@ -2,10 +2,17 @@
 
 Rebuild of ``poisson::problem`` (reference: src/poisson_problem.cpp:31-182):
 P1-P3 GLL-warped Lagrange space; Dirichlet u=0 on x0 in {0,1}; RHS
-f = Gaussian bump (volume) + g = sin(5 x0) (surface); assembled stiffness
-with BC rows/cols zeroed + unit diagonal; solver closure = from-scratch
-CG with Jacobi or SA-AMG preconditioning (replacing PETSc KSP + Hypre
-BoomerAMG, README.md:110-128).
+f = Gaussian bump (volume) + g = sin(5 x0) (surface); operator with BC
+rows/cols eliminated + unit diagonal; solver closure = from-scratch CG
+preconditioned by geometric multigrid (structured path) or SA-AMG
+(general path) — replacing PETSc KSP + Hypre BoomerAMG
+(README.md:110-128).
+
+TPU-native structure: on the cube mesh the "assembled matrix" is the
+constant-stencil StructuredOperator (numerically identical to the
+BC-eliminated CSR matrix; tests assert equality) — no gather/scatter in
+the solve.  Setup (RHS, BC location, element constants) is host-side
+float64; only the jitted solve touches the device.
 """
 
 from __future__ import annotations
@@ -22,14 +29,15 @@ from tpufem.fem.assemble import DofScatter, assemble_operator
 from tpufem.fem.dirichlet import DirichletBC
 from tpufem.fem.space import FunctionSpace
 from tpufem.la.cg import cg_solve
+from tpufem.mesh.structured import BoxTetMesh
 from tpufem.problems import common
 from tpufem.timing import Timer
 
 
 def assemble_poisson_rhs(space: FunctionSpace, scatter: DofScatter,
                          dtype) -> jnp.ndarray:
-    """b_i = int f v dx + int g v ds over the whole exterior boundary
-    (form L, src/Poisson.py:32)."""
+    """Device RHS assembly: b_i = int f v dx + int g v ds over the whole
+    exterior boundary (form L, src/Poisson.py:32)."""
     mesh = space.mesh
     order = space.order
     f = space.interpolate(common.poisson_f)
@@ -46,15 +54,14 @@ def assemble_poisson_rhs(space: FunctionSpace, scatter: DofScatter,
     fc_coords = jnp.asarray(mesh.cell_coords()[cells], dtype=dtype)
     g_cells = jnp.asarray(g[cd[cells]], dtype=dtype)
     contrib = kernels.facet_rhs_cells(fc_coords, jnp.asarray(lf), g_cells, order)
-    # scatter facet contributions (cell-local layout) to dofs
     flat = cd[cells].reshape(-1)
     b = b.at[jnp.asarray(flat)].add(contrib.reshape(-1))
     return b
 
 
 def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
-    """Host float64 twin of assemble_poisson_rhs (setup-phase use, e.g.
-    building the sharded RHS without device f64)."""
+    """Host float64 twin of assemble_poisson_rhs (the production setup
+    path: setup-phase work stays off the device)."""
     from tpufem.fem.assemble import _geometry_np
     mesh = space.mesh
     el = space.element
@@ -82,8 +89,69 @@ def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
     return b
 
 
+def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
+                cfg: Config, dtype):
+    """Shared CG-solver closure for poisson/elasticity: resolves the
+    preconditioner (auto -> gmg on BoxTetMesh, amg otherwise), builds it
+    inside the first solve (PETSc's PCSetUp-in-KSPSolve timing), caches
+    the jitted program."""
+    solver = cfg.solver
+    rtol = float(solver.get("ksp_rtol"))
+    maxit = int(solver.get("ksp_max_it"))
+    structured = isinstance(mesh, BoxTetMesh)
+    matvec_of = (lambda A: A.apply) if structured else (lambda A: A.matvec)
+    cache = {}
+
+    bc_marker = (common.poisson_bc_marker if problem_name != "elasticity"
+                 else common.elasticity_bc_marker)
+
+    def solver_function(u0: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+        pc_type = solver.get("pc_type")
+        if pc_type == "auto":
+            pc_type = "gmg" if structured else "amg"
+        if "run" not in cache:
+            if pc_type == "gmg":
+                if not structured:
+                    raise ValueError("gmg requires a structured cube mesh")
+                from tpufem.la.gmg import GMG
+                pc = GMG.setup(mesh, order, problem_name, bc_marker,
+                               dtype=dtype,
+                               coarse_limit=int(solver.get("amg_coarse_eq_limit")),
+                               smoother_degree=int(solver.get("amg_smoother_degree")))
+                precond_of = lambda pc: pc.vcycle
+            elif pc_type == "amg":
+                from tpufem.la.amg import SAAMG
+                csr_ = csr
+                if csr_ is None:
+                    space = FunctionSpace(mesh, order,
+                                          bs=3 if problem_name == "elasticity" else 1)
+                    _, csr_ = assemble_operator(space, bc, problem_name,
+                                                dtype=np.float64)
+                pc = SAAMG.setup(csr_, bs=bc.bs, options=solver, dtype=dtype,
+                                 near_nullspace=nns, bc_mask=bc.mask())
+                precond_of = lambda pc: pc.vcycle
+            elif pc_type == "jacobi":
+                pc = 1.0 / (A.diagonal() if not structured else A.diagonal())
+                precond_of = lambda dinv: (lambda r: dinv * r)
+            else:
+                pc = None
+                precond_of = lambda _: None
+
+            @jax.jit
+            def run(A, pc, x0, rhs):
+                return cg_solve(matvec_of(A), rhs, x0=x0,
+                                precond=precond_of(pc), rtol=rtol, maxit=maxit)
+
+            cache["run"], cache["pc"] = run, pc
+        x, it, rel = cache["run"](A, cache["pc"], u0, rhs)
+        return x, int(it)
+
+    return solver_function
+
+
 def problem(mesh, order: int, cfg: Config) -> common.Problem:
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    structured = isinstance(mesh, BoxTetMesh)
 
     with Timer("ZZZ FunctionSpace"):
         space = FunctionSpace(mesh, order)
@@ -93,52 +161,25 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         facets = mesh.locate_boundary_facets(common.poisson_bc_marker)
         bc = DirichletBC.from_space(space, facets)
 
-    with Timer("ZZZ Create RHS function"):
-        scatter = DofScatter(space.cell_dofs, space.ndofs_scalar)
-
     with Timer("ZZZ Assemble matrix"):
-        A, _csr = assemble_operator(space, bc, "poisson", dtype=np.dtype(dtype))
+        if structured:
+            # the constant-stencil operator IS the assembled matrix on
+            # this mesh (BC-eliminated; equality tested vs CSR)
+            from tpufem.fem.structured_op import StructuredOperator
+            A = StructuredOperator.build(mesh, order, "poisson",
+                                         bc_dofs=bc.flat_dofs(), dtype=dtype)
+            csr = None
+        else:
+            A, csr = assemble_operator(space, bc, "poisson",
+                                       dtype=np.dtype(dtype))
 
     with Timer("ZZZ Assemble vector"):
-        b = assemble_poisson_rhs(space, scatter, dtype)
-        # apply_lifting is numerically zero (u0 = 0); set BC values
-        b = jnp.asarray(bc.set(b))
-        b.block_until_ready()
+        b_np = assemble_poisson_rhs_np(space)
+        b_np[bc.flat_dofs()] = bc.value  # apply_lifting is zero (u0 = 0)
+        b = jnp.asarray(b_np.astype(np.dtype(dtype)))
 
     u = jnp.zeros(space.ndofs, dtype=dtype)
-
-    solver = cfg.solver
-
-    rtol = float(solver.get("ksp_rtol"))
-    maxit = int(solver.get("ksp_max_it"))
-    cache = {}
-
-    def solver_function(u0: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
-        # preconditioner setup happens inside the solve (matching PETSc,
-        # where PCSetUp runs within KSPSolve / "ZZZ Solve"); cached for
-        # repeat solves
-        pc_type = solver.get("pc_type")
-        if "run" not in cache:
-            if pc_type == "amg":
-                from tpufem.la.amg import SAAMG
-                pc = SAAMG.setup(_csr, bs=1, options=solver, dtype=dtype,
-                                 bc_mask=bc.mask())
-                precond_of = lambda pc: pc.vcycle
-            elif pc_type == "jacobi":
-                pc = 1.0 / A.diagonal()
-                precond_of = lambda dinv: (lambda r: dinv * r)
-            else:
-                pc = None
-                precond_of = lambda _: None
-
-            @jax.jit
-            def run(A, pc, x0, rhs):
-                return cg_solve(A.matvec, rhs, x0=x0, precond=precond_of(pc),
-                                rtol=rtol, maxit=maxit)
-
-            cache["run"], cache["pc"] = run, pc
-        x, it, rel = cache["run"](A, cache["pc"], u0, rhs)
-        return x, int(it)
-
+    solver_function = make_solver(A, csr, mesh, order, "poisson", bc, None,
+                                  cfg, dtype)
     return common.Problem(b=b, u=u, solver_function=solver_function,
                           space=space, bc=bc)
