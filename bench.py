@@ -37,23 +37,27 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from tpufem.config import enable_compilation_cache
+    enable_compilation_cache()
+
     extra = {"backend": jax.default_backend(),
              "device": str(jax.devices()[0])}
     log(f"backend={extra['backend']} device={extra['device']}")
 
     from tpufem.config import Config, SolverOptions
-    from tpufem.mesh import BoxTetMesh, compute_box_size
+    from tpufem.mesh import BoxTetMesh
+    from tpufem.mesh.structured import compute_box_size_structured
     from tpufem.problems import cgpoisson, poisson
     from tpufem.timing import REGISTRY
 
-    # ---- 1. Poisson P1, 500k dofs, CG + SA-AMG to rtol 1e-8 ---------------
+    # ---- 1. Poisson P1, 500k dofs, CG + geometric multigrid, rtol 1e-8 ----
     NDOFS = 500_000
     cfg = Config(problem_type="poisson", ndofs=NDOFS, scaling_type="strong",
                  dtype="float32",
-                 solver=SolverOptions(pc_type="amg", ksp_rtol=1e-8,
+                 solver=SolverOptions(pc_type="gmg", ksp_rtol=1e-8,
                                       ksp_max_it=100))
-    nx, ny, nz, r = compute_box_size(NDOFS, True, 1, 1, 1)
-    mesh = BoxTetMesh(nx << r, ny << r, nz << r)
+    nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 1, 1, 1)
+    mesh = BoxTetMesh(nx, ny, nz)
 
     REGISTRY.reset()
     log(f"poisson P1: mesh {mesh.Nx}x{mesh.Ny}x{mesh.Nz}, building problem")
@@ -61,6 +65,8 @@ def main() -> None:
     with contextlib.redirect_stdout(sys.stderr):
         prob = poisson.problem(mesh, 1, cfg)
     assemble_s = time.perf_counter() - t0
+    for name, reps, tot in REGISTRY.rows():
+        log(f"  stage {name}: {tot:.2f}s")
     log(f"assembled in {assemble_s:.2f}s; first solve (AMG setup + compile)")
 
     # first call = AMG setup + compile; second = pure solve
@@ -92,8 +98,8 @@ def main() -> None:
     cfg2 = Config(problem_type="cgpoisson", ndofs=NDOFS,
                   scaling_type="strong", dtype="float32",
                   solver=SolverOptions())
-    nx, ny, nz, r = compute_box_size(NDOFS, True, 1, 2, 1)
-    mesh2 = BoxTetMesh(nx << r, ny << r, nz << r)
+    nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 1, 2, 1)
+    mesh2 = BoxTetMesh(nx, ny, nz)
     log("cgpoisson P2: building problem")
     with contextlib.redirect_stdout(sys.stderr):
         prob2 = cgpoisson.problem(mesh2, 2, cfg2)

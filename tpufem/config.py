@@ -17,6 +17,18 @@ from typing import Any, Dict, List, Optional
 logger = logging.getLogger("tpufem")
 
 
+def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Persistent XLA compilation cache: first-compile of the jitted
+    solve programs costs minutes through the TPU tunnel; cached re-runs
+    load in seconds."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        logger.warning("compilation cache unavailable: %s", e)
+
+
 @dataclasses.dataclass
 class SolverOptions:
     """Solver-options namespace.

@@ -190,12 +190,26 @@ class DofScatter:
 
 def _geometry_np(coords: np.ndarray):
     """Host float64 (Jinv [C,3,3], |detJ| [C]) — assembly runs on the host
-    (setup phase): f64 on TPU is emulated and each chunk would cost a
-    dispatch roundtrip; numpy is faster end-to-end and exact."""
+    (setup phase).  Closed-form adjugate: numpy's batched inv/det loop
+    LAPACK per 3x3 matrix and is ~100x slower at millions of cells."""
     E = coords[:, 1:4, :] - coords[:, 0:1, :]
-    J = np.swapaxes(E, 1, 2)
-    det = np.linalg.det(J)
-    return np.linalg.inv(J), np.abs(det)
+    J = np.swapaxes(E, 1, 2)  # [C, a, l]
+    c00 = J[:, 1, 1] * J[:, 2, 2] - J[:, 1, 2] * J[:, 2, 1]
+    c01 = J[:, 1, 2] * J[:, 2, 0] - J[:, 1, 0] * J[:, 2, 2]
+    c02 = J[:, 1, 0] * J[:, 2, 1] - J[:, 1, 1] * J[:, 2, 0]
+    det = J[:, 0, 0] * c00 + J[:, 0, 1] * c01 + J[:, 0, 2] * c02
+    adj = np.empty_like(J)
+    adj[:, 0, 0] = c00
+    adj[:, 0, 1] = J[:, 0, 2] * J[:, 2, 1] - J[:, 0, 1] * J[:, 2, 2]
+    adj[:, 0, 2] = J[:, 0, 1] * J[:, 1, 2] - J[:, 0, 2] * J[:, 1, 1]
+    adj[:, 1, 0] = c01
+    adj[:, 1, 1] = J[:, 0, 0] * J[:, 2, 2] - J[:, 0, 2] * J[:, 2, 0]
+    adj[:, 1, 2] = J[:, 0, 2] * J[:, 1, 0] - J[:, 0, 0] * J[:, 1, 2]
+    adj[:, 2, 0] = c02
+    adj[:, 2, 1] = J[:, 0, 1] * J[:, 2, 0] - J[:, 0, 0] * J[:, 2, 1]
+    adj[:, 2, 2] = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    Jinv = adj / det[:, None, None]
+    return Jinv, np.abs(det)
 
 
 def metric_np(coords: np.ndarray) -> np.ndarray:

@@ -159,7 +159,9 @@ def perm_element_matrices(mesh: BoxTetMesh, order: int,
     """[6, n, n] (scalar) or [6, 3n, 3n] constant element matrices.
 
     Exact because every cube's 6 tets are translates of the 6 shapes at
-    the origin cube (anisotropic in (1/Nx, 1/Ny, 1/Nz))."""
+    the origin cube (anisotropic in (1/Nx, 1/Ny, 1/Nz)).  ``problem`` may
+    also be "mass" (the scalar mass matrix |detJ| M_ref, used for
+    structured RHS assembly)."""
     h = np.array([1.0 / mesh.Nx, 1.0 / mesh.Ny, 1.0 / mesh.Nz])
     coords = CELL_VERTEX_OFFSETS.astype(np.float64) * h[None, None, :]  # [6,4,3]
     if problem == "poisson":
@@ -168,7 +170,35 @@ def perm_element_matrices(mesh: BoxTetMesh, order: int,
     if problem == "elasticity":
         from tpufem.fem.assemble import _elasticity_stiffness_np
         return _elasticity_stiffness_np(coords, order)
+    if problem == "mass":
+        el = ReferenceTet(order)
+        adet = float(np.prod(h))  # |detJ| identical for all 6 perms
+        return np.repeat((adet * el.mass_tensor)[None], 6, axis=0)
     raise ValueError(problem)
+
+
+def dof_gids_for_cells(mesh: BoxTetMesh, order: int, cubes: np.ndarray,
+                       perms: np.ndarray) -> np.ndarray:
+    """[n_cells, n] scalar dof gids for (cube lattice corner, perm) pairs,
+    computed O(1) per cell from the slice plan (no global dofmap build)."""
+    lay = grid_layout(mesh, order)
+    plan = dof_slice_plan(order)
+    ncells = cubes.shape[0]
+    n = len(plan[0])
+    out = np.empty((ncells, n), dtype=np.int64)
+    for p in range(6):
+        sel = np.flatnonzero(perms == p)
+        if sel.size == 0:
+            continue
+        c = cubes[sel]
+        for l, (kind, (dx, dy, dz), slot) in enumerate(plan[p]):
+            base, (X, Y, Z), slots = lay.kinds[kind]
+            ax = c[:, 0] + dx
+            ay = c[:, 1] + dy
+            az = c[:, 2] + dz
+            lex = (az * Y + ay) * X + ax
+            out[sel, l] = base + lex * slots + slot
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +293,56 @@ class StructuredOperator:
         y = self.apply_raw(x)
         return jnp.where(self.bc_mask, 0.0, y)
 
+    # -- host (numpy) twin for setup-phase spectral estimates ----------------
+    def apply_raw_np(self, x: np.ndarray) -> np.ndarray:
+        """Pure-numpy apply (setup-phase power iteration etc. — avoids a
+        device jit compile per level through the TPU tunnel)."""
+        lay = self.layout
+        plan = dof_slice_plan(lay.order)
+        Nx, Ny, Nz = lay.Nx, lay.Ny, lay.Nz
+        bs = self.bs
+        Ap = np.asarray(self.Ap, dtype=np.float64)
+        xr = x.reshape(-1, bs)
+        grids = []
+        outs = []
+        for base, (X, Y, Z), s in lay.kinds:
+            g = xr[base: base + X * Y * Z * s].reshape(Z, Y, X, s, bs)
+            grids.append(g)
+            outs.append(np.zeros_like(g))
+        n = len(plan[0])
+        for p in range(6):
+            cols = [grids[kind][dz: dz + Nz, dy: dy + Ny, dx: dx + Nx, slot]
+                    for (kind, (dx, dy, dz), slot) in plan[p]]
+            u = np.stack(cols, axis=-2).reshape(-1, n * bs)
+            y = (u @ Ap[p].T).reshape(Nz, Ny, Nx, n, bs)
+            for l, (kind, (dx, dy, dz), slot) in enumerate(plan[p]):
+                outs[kind][dz: dz + Nz, dy: dy + Ny, dx: dx + Nx, slot] += y[..., l, :]
+        flat = np.concatenate([o.reshape(-1, bs) for o in outs], axis=0)
+        return flat.reshape(-1)
+
+    def apply_np(self, x: np.ndarray) -> np.ndarray:
+        bc = np.asarray(self.bc_mask)
+        y = self.apply_raw_np(np.where(bc, 0.0, x))
+        return np.where(bc, x, y)
+
     # -- diagonal ------------------------------------------------------------
+    def diagonal_np(self) -> np.ndarray:
+        """Host float64 operator diagonal (BC rows get 1)."""
+        lay = self.layout
+        plan = dof_slice_plan(lay.order)
+        Nx, Ny, Nz = lay.Nx, lay.Ny, lay.Nz
+        bs = self.bs
+        Ap = np.asarray(self.Ap, dtype=np.float64)
+        outs = [np.zeros((k[1][2], k[1][1], k[1][0], k[2], bs))
+                for k in lay.kinds]
+        for p in range(6):
+            dA = np.diagonal(Ap[p])
+            for l, (kind, (dx, dy, dz), slot) in enumerate(plan[p]):
+                d = dA[l * bs: (l + 1) * bs]
+                outs[kind][dz: dz + Nz, dy: dy + Ny, dx: dx + Nx, slot] += d
+        flat = np.concatenate([o.reshape(-1, bs) for o in outs]).reshape(-1)
+        return np.where(np.asarray(self.bc_mask), 1.0, flat)
+
     def diagonal(self) -> jnp.ndarray:
         """Flat operator diagonal (BC rows get 1), for Jacobi/Chebyshev."""
         lay = self.layout

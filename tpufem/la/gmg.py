@@ -224,12 +224,28 @@ class GMG:
                 f"(dims {mC.Nx}x{mC.Ny}x{mC.Nz}); pick lattice dims "
                 f"divisible by 2^levels (compute_box_size_structured)")
 
+        # lmax(D^-1 A) is estimated on a SMALL surrogate lattice with the
+        # same (hx : hy : hz) anisotropy — the Jacobi-normalized spectrum
+        # of the constant stencil is resolution-independent, so one cheap
+        # estimate per distinct order serves every level (1 vCPU host)
+        import math
+        g = math.gcd(math.gcd(mesh.Nx, mesh.Ny), mesh.Nz)
+        sdims = (mesh.Nx // g, mesh.Ny // g, mesh.Nz // g)
+        scale = max(1, 8 // max(sdims))
+        surrogate = BoxTetMesh(*(d * scale for d in sdims))
+        lmax_of = {}
+        for k in sorted(set(orders[:-1])):
+            sop = make_level(surrogate, k)
+            sd = 1.0 / sop.diagonal_np()
+            lmax_of[k] = _host_lmax(sop, sd) * 1.05
+
         levels: List[_GLevel] = []
         for m, k in zip(meshes[:-1], orders[:-1]):
             op = make_level(m, k)
-            dinv = 1.0 / op.diagonal()
-            lmax = _device_lmax(op, dinv)
-            levels.append(_GLevel(op=op, dinv=dinv, lmax=lmax))
+            dinv_np = 1.0 / op.diagonal_np()
+            levels.append(_GLevel(op=op,
+                                  dinv=jnp.asarray(dinv_np.astype(np.dtype(dtype))),
+                                  lmax=lmax_of[k]))
 
         # coarsest: dense inverse of the assembled BC-eliminated operator
         kC = orders[-1]
@@ -300,22 +316,16 @@ class GMG:
         return smooth(x, r)
 
 
-def _device_lmax(op: StructuredOperator, dinv: jnp.ndarray,
-                 iters: int = 20) -> float:
-    """Power-iteration estimate of lambda_max(D^-1 A) in one dispatch."""
-    n = dinv.shape[0]
-    v0 = jnp.asarray(np.random.default_rng(0).standard_normal(n),
-                     dtype=dinv.dtype)
-
-    @jax.jit
-    def run(v):
-        def body(i, carry):
-            v, lam = carry
-            w = dinv * op.apply(v)
-            lam = jnp.linalg.norm(w)
-            return (w / lam, lam)
-        v = v / jnp.linalg.norm(v)
-        _, lam = jax.lax.fori_loop(0, iters, body, (v, jnp.asarray(1.0, dinv.dtype)))
-        return lam
-
-    return float(run(v0))
+def _host_lmax(op: StructuredOperator, dinv_np: np.ndarray,
+               iters: int = 20) -> float:
+    """Host power-iteration estimate of lambda_max(D^-1 A) (numpy twin of
+    the stencil apply; no device jit per level)."""
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(dinv_np.shape[0])
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = dinv_np * op.apply_np(v)
+        lam = float(np.linalg.norm(w))
+        v = w / lam
+    return lam

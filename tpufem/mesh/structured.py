@@ -24,6 +24,7 @@ model (validated in tests against src/mesh.cpp:44-74).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -228,6 +229,46 @@ _EDGE_TYPE_OF = _edge_type_index()
 _FACE_TYPE_OF = _face_type_index()
 
 
+def _bits(v: np.ndarray) -> np.ndarray:
+    """Encode a {0,1}^3 offset as x + 2y + 4z."""
+    return v[..., 0] + 2 * v[..., 1] + 4 * v[..., 2]
+
+
+def _edge_type_lut() -> np.ndarray:
+    lut = np.full(8, -1, dtype=np.int64)
+    for key, t in _EDGE_TYPE_OF.items():
+        lut[_bits(np.array(key))] = t
+    return lut
+
+
+def _face_type_lut() -> np.ndarray:
+    lut = np.full(64, -1, dtype=np.int64)
+    for (k1, k2), t in _FACE_TYPE_OF.items():
+        lut[_bits(np.array(k1)) + 8 * _bits(np.array(k2))] = t
+    return lut
+
+
+_EDGE_LUT = _edge_type_lut()
+_FACE_LUT = _face_type_lut()
+
+
+@functools.lru_cache(maxsize=None)
+def _cube_face_table():
+    """table[face_type] = [(perm, local_face, anchor offset rel cube)]:
+    which tets of the unit Kuhn cube carry a face of each type."""
+    table = [[] for _ in range(12)]
+    for p in range(6):
+        offs = CELL_VERTEX_OFFSETS[p]
+        for f, (a, b, c) in enumerate(LOCAL_FACES):
+            tri = np.stack([offs[a], offs[b], offs[c]])
+            anchor = tri.min(axis=0)
+            top = tri.max(axis=0)
+            mid = tri.sum(axis=0) - anchor - top
+            t = _FACE_TYPE_OF[(tuple(mid - anchor), tuple(top - anchor))]
+            table[t].append((p, f, tuple(int(v) for v in anchor)))
+    return table
+
+
 @dataclasses.dataclass(frozen=True)
 class BoxTetMesh:
     """Kuhn-subdivided tetrahedral mesh of the unit cube.
@@ -356,10 +397,7 @@ class BoxTetMesh:
         a = lat[:, LOCAL_EDGES[:, 0], :]  # [C, 6, 3]
         b = lat[:, LOCAL_EDGES[:, 1], :]
         anchor = np.minimum(a, b)
-        d = np.abs(b - a)
-        etype = np.zeros(d.shape[:-1], dtype=np.int64)
-        for key, t in _EDGE_TYPE_OF.items():
-            etype[np.all(d == np.array(key), axis=-1)] = t
+        etype = _EDGE_LUT[_bits(np.abs(b - a))]
         gids = self.edge_gid(anchor, etype)
         flipped = np.any(a > b, axis=-1)
         return gids, flipped
@@ -371,17 +409,9 @@ class BoxTetMesh:
         anchor = tri.min(axis=2)  # [C, 4, 3]
         top = tri.max(axis=2)
         # middle vertex = the one that is neither min nor max
-        s = tri.sum(axis=2)
-        mid = s - anchor - top
-        d1 = mid - anchor
-        d2 = top - anchor
-        ftype = np.zeros(d1.shape[:-1], dtype=np.int64)
-        found = np.zeros(d1.shape[:-1], dtype=bool)
-        for (k1, k2), t in _FACE_TYPE_OF.items():
-            m = np.all(d1 == np.array(k1), axis=-1) & np.all(d2 == np.array(k2), axis=-1)
-            ftype[m] = t
-            found |= m
-        if not bool(found.all()):
+        mid = tri.sum(axis=2) - anchor - top
+        ftype = _FACE_LUT[_bits(mid - anchor) + 8 * _bits(top - anchor)]
+        if (ftype < 0).any():
             raise RuntimeError("unclassifiable face in Kuhn mesh")
         return self.face_gid(anchor, ftype)
 
@@ -447,10 +477,7 @@ class BoxTetMesh:
         out = []
         for oa, ob in ((zero, o1), (zero, o2), (o1, o2)):
             ea = anchor + np.minimum(oa, ob)
-            d = np.abs(ob - oa)
-            et = np.zeros(d.shape[:-1], dtype=np.int64)
-            for key, ty in _EDGE_TYPE_OF.items():
-                et[np.all(d == np.array(key), axis=-1)] = ty
+            et = _EDGE_LUT[_bits(np.abs(ob - oa))]
             out.append(self.edge_gid(ea, et))
         return np.stack(out, axis=-1)
 
@@ -473,6 +500,36 @@ class BoxTetMesh:
                 anchor = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=-1)
                 out.append(offs[t] + self._lex(anchor, dt[None, :]))
         return np.unique(np.concatenate(out))
+
+    def boundary_facet_cells(self, facets: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Closed-form facet -> (cube lattice corner, perm, local face).
+
+        The facet->cell connectivity of the reference (src/main.cpp:148)
+        restricted to the boundary, computed O(1) per facet from the
+        24-entry (perm, local face) -> (face type, anchor offset) table of
+        the unit Kuhn cube — no O(cells) scan.
+        """
+        anchor, ftype = self.face_anchor_type(np.asarray(facets, dtype=np.int64))
+        table = _cube_face_table()  # [12 types] -> list of (perm, lf, offset)
+        N = np.array([self.Nx, self.Ny, self.Nz], dtype=np.int64)
+        cube = np.full((facets.shape[0], 3), -1, dtype=np.int64)
+        perm = np.full(facets.shape[0], -1, dtype=np.int64)
+        lf = np.full(facets.shape[0], -1, dtype=np.int64)
+        for t in range(12):
+            sel = ftype == t
+            if not sel.any():
+                continue
+            for (p, f, off) in table[t]:
+                c = anchor[sel] - np.asarray(off)
+                ok = np.all((c >= 0) & (c < N), axis=1)
+                todo = sel.copy()
+                todo[sel] = ok & (perm[sel] < 0)
+                cube[todo] = (anchor[todo] - np.asarray(off))
+                perm[todo] = p
+                lf[todo] = f
+        if (perm < 0).any():
+            raise ValueError("facet without adjacent cell")
+        return cube, perm, lf
 
     def locate_boundary_facets(self, marker: Callable[[np.ndarray], np.ndarray]) -> np.ndarray:
         """Boundary facets whose *every vertex* satisfies ``marker``.

@@ -79,10 +79,13 @@ def make_action(space: FunctionSpace, bc: DirichletBC, scatter: DofScatter,
 
 def problem(mesh, order: int, cfg: Config) -> common.Problem:
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    from tpufem.mesh.structured import BoxTetMesh
+    structured = isinstance(mesh, BoxTetMesh)
 
     with Timer("ZZZ FunctionSpace"):
         space = FunctionSpace(mesh, order)
-        _ = space.cell_dofs
+        if not structured:
+            _ = space.cell_dofs
 
     with Timer("ZZZ Create boundary conditions"):
         facets = mesh.locate_boundary_facets(common.poisson_bc_marker)

@@ -41,9 +41,18 @@ def assemble_elasticity_rhs(space: FunctionSpace, scatter: DofScatter,
 
 
 def assemble_elasticity_rhs_np(space: FunctionSpace) -> np.ndarray:
-    """Host float64 twin (production setup path)."""
-    from tpufem.fem.assemble import _geometry_np
+    """Host float64 twin (production setup path); structured mass-stencil
+    fast path per component on BoxTetMesh."""
     f = space.interpolate(common.elasticity_f).reshape(-1, 3)
+    if isinstance(space.mesh, BoxTetMesh):
+        from tpufem.fem.structured_op import StructuredOperator
+        import jax.numpy as jnp
+        mass_op = StructuredOperator.build(space.mesh, space.order, "mass",
+                                           dtype=jnp.float64)
+        b = np.stack([mass_op.apply_raw_np(f[:, r]) for r in range(3)],
+                     axis=-1)
+        return b.reshape(-1)
+    from tpufem.fem.assemble import _geometry_np
     cd = space.cell_dofs
     coords = space.mesh.cell_coords()
     _, adet = _geometry_np(coords)
@@ -63,7 +72,8 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
 
     with Timer("ZZZ FunctionSpace"):
         space = FunctionSpace(mesh, order, bs=3)
-        _ = space.cell_dofs
+        if not structured:
+            _ = space.cell_dofs
 
     with Timer("ZZZ Create boundary conditions"):
         facets = mesh.locate_boundary_facets(common.elasticity_bc_marker)

@@ -59,33 +59,56 @@ def assemble_poisson_rhs(space: FunctionSpace, scatter: DofScatter,
     return b
 
 
+def _facet_rhs_np(el, g: np.ndarray, cd_cells: np.ndarray,
+                  tri: np.ndarray, lf: np.ndarray, ndofs: int) -> np.ndarray:
+    """Boundary term of L: sum over facets of 2*area * S_lf @ g_cell."""
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    area2 = np.linalg.norm(np.cross(e1, e2), axis=-1)
+    S = el.facet_mass_tensors[lf]  # [F, n, n]
+    contrib = np.einsum("fij,fj->fi", S, g[cd_cells]) * area2[:, None]
+    return np.bincount(cd_cells.reshape(-1), weights=contrib.reshape(-1),
+                       minlength=ndofs)
+
+
 def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
     """Host float64 twin of assemble_poisson_rhs (the production setup
-    path: setup-phase work stays off the device)."""
-    from tpufem.fem.assemble import _geometry_np
+    path).  On BoxTetMesh the volume term is a structured mass-stencil
+    apply and the boundary term uses the closed-form facet->cell table —
+    no O(cells) dofmap or topology scans (this host has 1 vCPU)."""
+    from tpufem.mesh.structured import LOCAL_FACES, BoxTetMesh
     mesh = space.mesh
     el = space.element
     f = space.interpolate(common.poisson_f)
     g = space.interpolate(common.poisson_g)
+
+    if isinstance(mesh, BoxTetMesh):
+        from tpufem.fem.structured_op import (StructuredOperator,
+                                              dof_gids_for_cells)
+        mass_op = StructuredOperator.build(mesh, space.order, "mass",
+                                           dtype=jnp.float64)
+        b = mass_op.apply_raw_np(f)
+        facets = mesh.boundary_faces()
+        cubes, perms, lf = mesh.boundary_facet_cells(facets)
+        cd_cells = dof_gids_for_cells(mesh, space.order, cubes, perms)
+        from tpufem.mesh.structured import CELL_VERTEX_OFFSETS
+        h = np.array([1.0 / mesh.Nx, 1.0 / mesh.Ny, 1.0 / mesh.Nz])
+        verts = (cubes[:, None, :] + CELL_VERTEX_OFFSETS[perms]) * h
+        tri = np.take_along_axis(verts, LOCAL_FACES[lf][:, :, None], axis=1)
+        b += _facet_rhs_np(el, g, cd_cells, tri, lf, space.ndofs_scalar)
+        return b
+
+    from tpufem.fem.assemble import _geometry_np
     cd = space.cell_dofs
     coords = mesh.cell_coords()
     _, adet = _geometry_np(coords)
     b_cells = (f[cd] @ el.mass_tensor.T) * adet[:, None]
     b = np.bincount(cd.reshape(-1), weights=b_cells.reshape(-1),
                     minlength=space.ndofs_scalar)
-
     facets = mesh.boundary_faces()
     cells, lf = common.facet_to_cell(mesh.cell_faces(), facets)
-    from tpufem.mesh.structured import LOCAL_FACES
-    tri_idx = LOCAL_FACES[lf]
-    tri = np.take_along_axis(coords[cells], tri_idx[:, :, None], axis=1)
-    e1 = tri[:, 1] - tri[:, 0]
-    e2 = tri[:, 2] - tri[:, 0]
-    area2 = np.linalg.norm(np.cross(e1, e2), axis=-1)
-    S = el.facet_mass_tensors[lf]  # [F, n, n]
-    contrib = np.einsum("fij,fj->fi", S, g[cd[cells]]) * area2[:, None]
-    b += np.bincount(cd[cells].reshape(-1), weights=contrib.reshape(-1),
-                     minlength=space.ndofs_scalar)
+    tri = np.take_along_axis(coords[cells], LOCAL_FACES[lf][:, :, None], axis=1)
+    b += _facet_rhs_np(el, g, cd[cells], tri, lf, space.ndofs_scalar)
     return b
 
 
@@ -155,7 +178,8 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
 
     with Timer("ZZZ FunctionSpace"):
         space = FunctionSpace(mesh, order)
-        _ = space.cell_dofs
+        if not structured:
+            _ = space.cell_dofs
 
     with Timer("ZZZ Create boundary conditions"):
         facets = mesh.locate_boundary_facets(common.poisson_bc_marker)
