@@ -43,6 +43,10 @@ def main() -> None:
     extra = {"backend": jax.default_backend(),
              "device": str(jax.devices()[0])}
     log(f"backend={extra['backend']} device={extra['device']}")
+    # device/tunnel warm-up: the first computation pays a large, highly
+    # variable session-init cost that must not pollute stage timings
+    jax.block_until_ready(jnp.ones(8) + 1.0)
+    log("device warm-up done")
 
     from tpufem.config import Config, SolverOptions
     from tpufem.mesh import BoxTetMesh

@@ -268,12 +268,11 @@ class StructuredOperator:
                 cols.append(sl)
             u = jnp.stack(cols, axis=-2)  # [Z, Y, X, n, bs]
             u = u.reshape(-1, n * bs) if bs > 1 else u.reshape(-1, n)
-            if bs > 1:
-                # element matrices are (i, r)-interleaved: [n*bs, n*bs]
-                y = u @ self.Ap[p].T
-                y = y.reshape(Nz, Ny, Nx, n, bs)
-            else:
-                y = (u @ self.Ap[p].T).reshape(Nz, Ny, Nx, n, 1)
+            # full-f32 matmul: TPU's default f32 matmul runs bf16 passes,
+            # which costs CG/MG iterations (operator error ~1e-3)
+            y = jnp.matmul(u, self.Ap[p].T,
+                           precision=jax.lax.Precision.HIGHEST)
+            y = y.reshape(Nz, Ny, Nx, n, bs)
             for l, (kind, (dx, dy, dz), slot) in enumerate(plan[p]):
                 out[kind] = out[kind].at[
                     dz: dz + Nz, dy: dy + Ny, dx: dx + Nx, slot].add(y[..., l, :])

@@ -354,7 +354,8 @@ class SAAMG:
     def vcycle(self, r: jnp.ndarray, i: int = 0) -> jnp.ndarray:
         """One V(1,1) cycle; traceable (self may be a jit argument)."""
         if i == len(self.levels):
-            return self.coarse_inv @ r
+            return jnp.matmul(self.coarse_inv, r,
+                              precision=jax.lax.Precision.HIGHEST)
         lv = self.levels[i]
         smooth = chebyshev_smoother(lv.A.matvec, lv.dinv, lv.lmax,
                                     degree=self.smoother_degree)

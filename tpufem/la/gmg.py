@@ -287,7 +287,8 @@ class GMG:
 
     def vcycle(self, r: jnp.ndarray, i: int = 0) -> jnp.ndarray:
         if i == len(self.levels):
-            return self.coarse_inv @ r
+            return jnp.matmul(self.coarse_inv, r,
+                              precision=jax.lax.Precision.HIGHEST)
         lv = self.levels[i]
         smooth = chebyshev_smoother(lv.op.apply, lv.dinv, lv.lmax,
                                     degree=self.smoother_degree)
