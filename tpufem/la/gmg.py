@@ -194,13 +194,15 @@ class GMG:
 
         bs = 3 if problem == "elasticity" else 1
 
-        def make_level(m: BoxTetMesh, k: int) -> StructuredOperator:
+        def make_level(m: BoxTetMesh, k: int):
             space = FunctionSpace(m, k, bs=bs)
             facets = m.locate_boundary_facets(bc_marker)
             bc = DirichletBC.from_space(space, facets)
-            return StructuredOperator.build(m, k, problem,
-                                            bc_dofs=bc.flat_dofs(),
-                                            dtype=dtype)
+            # P1 levels: DIA stencil (pure shifted multiply-adds,
+            # small HLO); Pk fine level: per-perm element matmuls
+            from tpufem.fem.dia_op import build_operator
+            return build_operator(m, k, problem, bc_dofs=bc.flat_dofs(),
+                                  dtype=dtype)
 
         meshes = [mesh]
         orders = [order]

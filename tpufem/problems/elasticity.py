@@ -81,9 +81,9 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
 
     with Timer("ZZZ Assemble matrix"):
         if structured:
-            from tpufem.fem.structured_op import StructuredOperator
-            A = StructuredOperator.build(mesh, order, "elasticity",
-                                         bc_dofs=bc.flat_dofs(), dtype=dtype)
+            from tpufem.fem.dia_op import build_operator
+            A = build_operator(mesh, order, "elasticity",
+                               bc_dofs=bc.flat_dofs(), dtype=dtype)
             csr = None
         else:
             A, csr = assemble_operator(space, bc, "elasticity",

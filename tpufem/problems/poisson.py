@@ -154,7 +154,10 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                                  near_nullspace=nns, bc_mask=bc.mask())
                 precond_of = lambda pc: pc.vcycle
             elif pc_type == "jacobi":
-                pc = 1.0 / (A.diagonal() if not structured else A.diagonal())
+                if structured:
+                    pc = jnp.asarray((1.0 / A.diagonal_np()).astype(np.dtype(dtype)))
+                else:
+                    pc = 1.0 / A.diagonal()
                 precond_of = lambda dinv: (lambda r: dinv * r)
             else:
                 pc = None
@@ -187,11 +190,11 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
 
     with Timer("ZZZ Assemble matrix"):
         if structured:
-            # the constant-stencil operator IS the assembled matrix on
-            # this mesh (BC-eliminated; equality tested vs CSR)
-            from tpufem.fem.structured_op import StructuredOperator
-            A = StructuredOperator.build(mesh, order, "poisson",
-                                         bc_dofs=bc.flat_dofs(), dtype=dtype)
+            # the DIA stencil operator IS the assembled matrix on this
+            # mesh (BC-eliminated; equality tested vs CSR)
+            from tpufem.fem.dia_op import build_operator
+            A = build_operator(mesh, order, "poisson",
+                               bc_dofs=bc.flat_dofs(), dtype=dtype)
             csr = None
         else:
             A, csr = assemble_operator(space, bc, "poisson",
