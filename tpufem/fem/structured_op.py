@@ -237,7 +237,10 @@ class StructuredOperator:
     @classmethod
     def build(cls, mesh: BoxTetMesh, order: int, problem: str = "poisson",
               bc_dofs: Optional[np.ndarray] = None,
-              dtype=jnp.float32) -> "StructuredOperator":
+              dtype=jnp.float32, device: bool = True) -> "StructuredOperator":
+        """device=False keeps arrays in numpy (for host-only *_np use —
+        a float64 jnp.asarray with x64 disabled compiles a device convert,
+        which costs ~40s through the TPU tunnel)."""
         bs = 3 if problem == "elasticity" else 1
         layout = grid_layout(mesh, order)
         Ap = perm_element_matrices(mesh, order, problem)
@@ -245,8 +248,10 @@ class StructuredOperator:
         mask = np.zeros(nd, dtype=bool)
         if bc_dofs is not None:
             mask[bc_dofs] = True
-        return cls(jnp.asarray(Ap.astype(np.dtype(dtype))),
-                   jnp.asarray(mask), layout, bs)
+        Ap_cast = Ap.astype(np.dtype(dtype))
+        if not device:
+            return cls(Ap_cast, mask, layout, bs)
+        return cls(jnp.asarray(Ap_cast), jnp.asarray(mask), layout, bs)
 
     # -- raw action (no BC) ------------------------------------------------------
     def apply_raw(self, x: jnp.ndarray) -> jnp.ndarray:

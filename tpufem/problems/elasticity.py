@@ -48,7 +48,7 @@ def assemble_elasticity_rhs_np(space: FunctionSpace) -> np.ndarray:
         from tpufem.fem.structured_op import StructuredOperator
         import jax.numpy as jnp
         mass_op = StructuredOperator.build(space.mesh, space.order, "mass",
-                                           dtype=jnp.float64)
+                                           dtype=jnp.float64, device=False)
         b = np.stack([mass_op.apply_raw_np(f[:, r]) for r in range(3)],
                      axis=-1)
         return b.reshape(-1)

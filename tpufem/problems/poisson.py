@@ -86,7 +86,7 @@ def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
         from tpufem.fem.structured_op import (StructuredOperator,
                                               dof_gids_for_cells)
         mass_op = StructuredOperator.build(mesh, space.order, "mass",
-                                           dtype=jnp.float64)
+                                           dtype=jnp.float64, device=False)
         b = mass_op.apply_raw_np(f)
         facets = mesh.boundary_faces()
         cubes, perms, lf = mesh.boundary_facet_cells(facets)
