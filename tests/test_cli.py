@@ -1,0 +1,78 @@
+"""End-to-end CLI smoke tests mirroring the reference CI matrix
+(.github/workflows/ccpp.yml): each job runs the full driver and checks
+convergence + solution-norm sanity (the reference's implicit correctness
+signals, src/main.cpp:232-233).  Sizes scaled down for the 1-vCPU host."""
+
+import numpy as np
+import pytest
+
+from tpufem.cli import parse_args, solve
+
+
+def run_cli(argv):
+    cfg = parse_args(argv)
+    return solve(cfg)
+
+
+def test_poisson_weak_serial():
+    """CI job 1 analogue (ccpp.yml:56-70), smaller dof count."""
+    it, norm = run_cli(["--problem_type", "poisson", "--ndofs", "15000",
+                        "--scaling_type", "weak", "--num_shards", "1",
+                        "--dtype", "float64", "-ksp_rtol", "1e-8"])
+    assert 0 < it < 60
+    assert np.isfinite(norm) and norm > 1.0
+
+
+def test_poisson_order3():
+    """CI job 3 analogue (ccpp.yml:86-101): --order 3."""
+    it, norm = run_cli(["--problem_type", "poisson", "--ndofs", "15000",
+                        "--order", "3", "--num_shards", "1",
+                        "--dtype", "float64", "-ksp_rtol", "1e-8"])
+    assert 0 < it < 80
+    assert np.isfinite(norm) and norm > 0.1
+
+
+def test_poisson_unstructured():
+    """CI job 4 analogue (ccpp.yml:102-117): spoke mesh + SA-AMG.
+
+    Note: like the reference, the Poisson BC predicate (x in {0,1}
+    planes) marks NO facets on the spoke geometry, so the system is
+    singular Neumann; the reference CI checks only that the run
+    completes (no -ksp_converged_reason).  Same contract here."""
+    it, norm = run_cli(["--problem_type", "poisson", "--mesh_type",
+                        "unstructured", "--ndofs", "4000",
+                        "--num_shards", "1", "--dtype", "float64",
+                        "-ksp_rtol", "1e-8", "-ksp_max_it", "50"])
+    assert 0 < it <= 50
+    assert np.isfinite(norm)
+
+
+def test_elasticity_weak():
+    """CI job analogue (ccpp.yml:133-156)."""
+    it, norm = run_cli(["--problem_type", "elasticity", "--ndofs", "9000",
+                        "--scaling_type", "strong", "--num_shards", "1",
+                        "--dtype", "float64", "-ksp_rtol", "1e-8"])
+    assert 0 < it < 100
+    assert np.isfinite(norm) and norm > 1e-6
+
+
+def test_cgpoisson_runs():
+    """cgpoisson (not in the reference CI; kmax=100 rtol=1e-6 defaults,
+    cgpoisson_problem.cpp:233)."""
+    it, norm = run_cli(["--problem_type", "cgpoisson", "--ndofs", "15000",
+                        "--num_shards", "1", "--dtype", "float64"])
+    assert 0 < it <= 100
+
+
+def test_output_xdmf(tmp_path):
+    out = str(tmp_path / "res")
+    it, norm = run_cli(["--problem_type", "poisson", "--ndofs", "4000",
+                        "--num_shards", "1", "--dtype", "float64",
+                        "--output", out])
+    import os
+    assert os.path.exists(os.path.join(out, "solution-1.xdmf"))
+    assert os.path.exists(os.path.join(out, "solution-1.h5"))
+    import h5py
+    with h5py.File(os.path.join(out, "solution-1.h5")) as f:
+        assert f["/function/values"].shape[0] > 0
+        assert f["/mesh/topology"].shape[1] == 4

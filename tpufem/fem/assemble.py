@@ -40,7 +40,8 @@ def coo_to_csr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     """Dedupe-summed CSR from COO triplets.  ``vals`` may be [nnz] or
     [nnz, bs, bs] (block entries).  Returns (indptr, indices, data)."""
     key = rows.astype(np.int64) * n + cols.astype(np.int64)
-    order = np.argsort(key, kind="stable")
+    from tpufem.native import argsort_u64
+    order = argsort_u64(key)
     key = key[order]
     vals = vals[order]
     boundaries = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1])

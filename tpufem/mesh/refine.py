@@ -34,7 +34,8 @@ def uniform_refine(vertices: np.ndarray,
     """One level of red (1:8) refinement."""
     nv = vertices.shape[0]
     keys = _edge_keys(cells, nv)  # [C, 6]
-    uniq, inv = np.unique(keys.ravel(), return_inverse=True)
+    from tpufem.native import unique_inverse_u64
+    uniq, inv = unique_inverse_u64(keys.ravel())
     mid_ids = nv + inv.reshape(-1, 6)  # [C, 6] new vertex id per local edge
     mids = 0.5 * (vertices[(uniq // nv)] + vertices[(uniq % nv)])
     new_verts = np.concatenate([vertices, mids], axis=0)

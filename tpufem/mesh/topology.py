@@ -51,7 +51,8 @@ class TetTopology:
         lo = pairs.min(axis=-1)
         hi = pairs.max(axis=-1)
         key = lo.astype(np.int64) * self.vertices.shape[0] + hi
-        uniq, inv = np.unique(key.ravel(), return_inverse=True)
+        from tpufem.native import unique_inverse_u64
+        uniq, inv = unique_inverse_u64(key.ravel())
         self._edge_verts = np.stack([uniq // self.vertices.shape[0],
                                      uniq % self.vertices.shape[0]], axis=-1)
         self._cell_edges = inv.reshape(-1, 6)
@@ -60,8 +61,18 @@ class TetTopology:
     def _build_faces(self) -> None:
         tris = np.sort(self._cells[:, LOCAL_FACES], axis=-1)  # [C, 4, 3]
         flat = tris.reshape(-1, 3)
-        uniq, inv, counts = np.unique(flat, axis=0, return_inverse=True,
-                                      return_counts=True)
+        nv = self.vertices.shape[0]
+        if nv < (1 << 21):  # 3-key packing fits u64
+            from tpufem.native import unique_inverse_u64
+            keys = (flat[:, 0] * nv + flat[:, 1]) * nv + flat[:, 2]
+            ukeys, inv = unique_inverse_u64(keys)
+            counts = np.bincount(inv)
+            uniq = np.stack([ukeys // (nv * nv),
+                             (ukeys // nv) % nv,
+                             ukeys % nv], axis=-1)
+        else:
+            uniq, inv, counts = np.unique(flat, axis=0, return_inverse=True,
+                                          return_counts=True)
         self._face_verts = uniq
         self._cell_faces = inv.reshape(-1, 4)
         # facet -> cell connectivity (each face touches 1 or 2 cells)

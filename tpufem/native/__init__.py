@@ -1,0 +1,96 @@
+"""Native (C++) host-side setup accelerators with ctypes bindings.
+
+Builds ``fastsetup.cpp`` on first import (g++ -O3, cached .so next to the
+source) and exposes:
+
+- ``argsort_u64(keys)``: radix argsort of uint64 keys;
+- ``unique_inverse_u64(keys)``: (unique sorted keys, inverse indices).
+
+Callers fall back to numpy transparently when the toolchain or build is
+unavailable (``HAVE_NATIVE`` is False).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("tpufem")
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fastsetup.cpp")
+_SO = os.path.join(_DIR, "_fastsetup.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                   _SRC, "-o", _SO + ".tmp"]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(_SO + ".tmp", _SO)
+        lib = ctypes.CDLL(_SO)
+        lib.radix_argsort_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.radix_argsort_u64.restype = None
+        lib.unique_inverse_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
+        lib.unique_inverse_u64.restype = ctypes.c_int64
+        return lib
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        logger.warning("native fastsetup unavailable (%s); numpy fallback", e)
+        return None
+
+
+def _get() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None:
+        _lib = _build() or False  # type: ignore[assignment]
+    return _lib or None
+
+
+def have_native() -> bool:
+    return _get() is not None
+
+
+def argsort_u64(keys: np.ndarray) -> np.ndarray:
+    """Radix argsort for uint64/int64 keys (stable)."""
+    k = np.ascontiguousarray(keys).view(np.uint64)
+    lib = _get()
+    if lib is None:
+        return np.argsort(k, kind="stable")
+    perm = np.empty(k.shape[0], dtype=np.int64)
+    lib.radix_argsort_u64(
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(k.shape[0]),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return perm
+
+
+def unique_inverse_u64(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(unique sorted keys, inverse) for uint64/int64 keys — the
+    np.unique(..., return_inverse=True) replacement used in topology and
+    sparsity construction."""
+    k = np.ascontiguousarray(keys).view(np.uint64)
+    lib = _get()
+    if lib is None:
+        u, inv = np.unique(k, return_inverse=True)
+        return u.view(keys.dtype), inv
+    uniq = np.empty(k.shape[0], dtype=np.uint64)
+    inv = np.empty(k.shape[0], dtype=np.int64)
+    nu = lib.unique_inverse_u64(
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(k.shape[0]),
+        uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return uniq[:nu].view(keys.dtype).copy(), inv
