@@ -104,13 +104,17 @@ def solve(cfg: Config) -> Tuple[int, float]:
 
     with Timer("ZZZ Create Mesh"):
         if cfg.mesh_type == "cube":
-            from tpufem.mesh import BoxTetMesh, compute_box_size
-            nx, ny, nz, r = compute_box_size(
+            from tpufem.mesh import BoxTetMesh
+            from tpufem.mesh.structured import compute_box_size_structured
+            # lattice dims divisible by 2^levels so geometric multigrid
+            # can coarsen (the dyadic factor doubles as the reference's
+            # refinement parameter r, src/mesh.cpp:100-126)
+            nx, ny, nz, r = compute_box_size_structured(
                 cfg.ndofs, strong_scaling, cfg.dofs_per_node, cfg.order,
                 num_shards)
-            mesh = BoxTetMesh(nx << r, ny << r, nz << r)
-            print(f"UnitCube ({nx}x{ny}x{nz}) to be refined {r} times",
-                  flush=True)
+            mesh = BoxTetMesh(nx, ny, nz)
+            print(f"UnitCube ({nx >> r}x{ny >> r}x{nz >> r}) to be "
+                  f"refined {r} times", flush=True)
         else:
             from tpufem.mesh.spoke import create_spoke_mesh
             mesh = create_spoke_mesh(cfg.ndofs, strong_scaling,

@@ -220,7 +220,7 @@ class GMG:
             orders.append(1)
         mC = meshes[-1]
         coarse_ndofs = (mC.Nx + 1) * (mC.Ny + 1) * (mC.Nz + 1) * bs
-        if coarse_ndofs > 50 * coarse_limit:
+        if coarse_ndofs > 8 * coarse_limit:
             raise ValueError(
                 f"GMG coarsest level has {coarse_ndofs} dofs "
                 f"(dims {mC.Nx}x{mC.Ny}x{mC.Nz}); pick lattice dims "

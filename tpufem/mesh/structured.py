@@ -125,9 +125,11 @@ def compute_box_size_structured(target_dofs: int, strong_scaling: bool,
         a0 = max(2, round(s / m))
         if a0 >= 3 or levels == 1:
             best = None
+            # near-cubic candidates only (max/min dim ratio bounded):
+            # strong anisotropy degrades the multigrid smoother
             for a in range(max(a0 - 2, 2), a0 + 3):
-                for b in range(max(a0 - 2, 2), a0 + 3):
-                    for c in range(max(a0 - 2, 2), a0 + 3):
+                for b in range(a, a + 3):
+                    for c in range(b, min(b + 3, a + 3)):
                         diff = abs(num_pdofs(a * m, b * m, c * m, 0, order) - N)
                         if best is None or diff < best[0]:
                             best = (diff, a, b, c)

@@ -137,12 +137,17 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                 if not structured:
                     raise ValueError("gmg requires a structured cube mesh")
                 from tpufem.la.gmg import GMG
-                pc = GMG.setup(mesh, order, problem_name, bc_marker,
-                               dtype=dtype,
-                               coarse_limit=int(solver.get("amg_coarse_eq_limit")),
-                               smoother_degree=int(solver.get("amg_smoother_degree")))
-                precond_of = lambda pc: pc.vcycle
-            elif pc_type == "amg":
+                try:
+                    pc = GMG.setup(mesh, order, problem_name, bc_marker,
+                                   dtype=dtype,
+                                   coarse_limit=int(solver.get("amg_coarse_eq_limit")),
+                                   smoother_degree=int(solver.get("amg_smoother_degree")))
+                    precond_of = lambda pc: pc.vcycle
+                except ValueError:
+                    # lattice dims not 2^L-divisible: geometric coarsening
+                    # impossible -> fall back to algebraic multigrid
+                    pc_type = "amg"
+            if pc_type == "amg":
                 from tpufem.la.amg import SAAMG
                 csr_ = csr
                 if csr_ is None:
@@ -159,7 +164,7 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                 else:
                     pc = 1.0 / A.diagonal()
                 precond_of = lambda dinv: (lambda r: dinv * r)
-            else:
+            elif pc_type != "gmg":
                 pc = None
                 precond_of = lambda _: None
 
