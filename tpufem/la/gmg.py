@@ -42,31 +42,75 @@ from tpufem.mesh.structured import EDGE_TYPES, FACE_TYPES, BoxTetMesh
 # ---------------------------------------------------------------------------
 
 
+def _interleave(A: jnp.ndarray, B: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """[a0, a1, b0, a2, ...]: weave A (n+1 slices) with B (n slices) along
+    ``axis``.  Pure stack/reshape/concat — strided writes (``at[::2]``)
+    lower to scatter on TPU and are ~20x slower."""
+    n = B.shape[axis]
+    Ah = jax.lax.slice_in_dim(A, 0, n, axis=axis)
+    At = jax.lax.slice_in_dim(A, n, n + 1, axis=axis)
+    pairs = jnp.stack([Ah, B], axis=axis + 1)
+    shape = list(A.shape)
+    shape[axis] = 2 * n
+    woven = pairs.reshape(shape)
+    return jnp.concatenate([woven, At], axis=axis)
+
+
+def _deinterleave(F: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of _interleave: F (2n+1 slices) -> (A (n+1), B (n))."""
+    m = F.shape[axis]
+    n = (m - 1) // 2
+    body = jax.lax.slice_in_dim(F, 0, 2 * n, axis=axis)
+    tail = jax.lax.slice_in_dim(F, 2 * n, 2 * n + 1, axis=axis)
+    shape = list(F.shape)
+    shape[axis: axis + 1] = [n, 2]
+    pairs = body.reshape(shape)
+    Ah = jax.lax.index_in_dim(pairs, 0, axis=axis + 1, keepdims=False)
+    B = jax.lax.index_in_dim(pairs, 1, axis=axis + 1, keepdims=False)
+    return jnp.concatenate([Ah, tail], axis=axis), B
+
+
 def prolong_h(c: jnp.ndarray, fine_dims: Tuple[int, int, int]) -> jnp.ndarray:
     """P1 vertex-grid prolongation coarse -> fine (2x per axis).
 
     c: [Zc+1, Yc+1, Xc+1, ...]; every fine vertex f equals the average of
-    coarse vertices floor(f/2) and ceil(f/2) (equal when f is even)."""
-    Nx, Ny, Nz = fine_dims
-    f = jnp.zeros((Nz + 1, Ny + 1, Nx + 1) + c.shape[3:], dtype=c.dtype)
+    coarse vertices floor(f/2) and ceil(f/2) (equal when f is even —
+    Kuhn edges include the face/body diagonals, so this is exact linear
+    interpolation on the coarse tet mesh)."""
+    # pattern blocks P[abc] = 0.5 * (c[lo] + c[hi]) for odd-axis offsets
+    pat = {}
     for oz, oy, ox in itertools.product((0, 1), repeat=3):
         lo = c[: c.shape[0] - oz, : c.shape[1] - oy, : c.shape[2] - ox]
         hi = c[oz:, oy:, ox:]
-        f = f.at[oz::2, oy::2, ox::2].set(0.5 * (lo + hi))
-    return f
+        pat[(oz, oy, ox)] = lo if (oz | oy | ox) == 0 else 0.5 * (lo + hi)
+    # weave x, then y, then z
+    q = {}
+    for oz, oy in itertools.product((0, 1), repeat=2):
+        q[(oz, oy)] = _interleave(pat[(oz, oy, 0)], pat[(oz, oy, 1)], axis=2)
+    r0 = _interleave(q[(0, 0)], q[(0, 1)], axis=1)
+    r1 = _interleave(q[(1, 0)], q[(1, 1)], axis=1)
+    return _interleave(r0, r1, axis=0)
 
 
 def restrict_h(f: jnp.ndarray, coarse_dims: Tuple[int, int, int]) -> jnp.ndarray:
     """Adjoint of prolong_h (fine vertex grid -> coarse vertex grid)."""
-    Nxc, Nyc, Nzc = coarse_dims
-    c = jnp.zeros((Nzc + 1, Nyc + 1, Nxc + 1) + f.shape[3:], dtype=f.dtype)
-    for oz, oy, ox in itertools.product((0, 1), repeat=3):
-        part = 0.5 * f[oz::2, oy::2, ox::2]
-        zsl = slice(0, c.shape[0] - oz)
-        ysl = slice(0, c.shape[1] - oy)
-        xsl = slice(0, c.shape[2] - ox)
-        c = c.at[zsl, ysl, xsl].add(part)
-        c = c.at[slice(oz, None), slice(oy, None), slice(ox, None)].add(part)
+    r0, r1 = _deinterleave(f, axis=0)
+    q00, q01 = _deinterleave(r0, axis=1)
+    q10, q11 = _deinterleave(r1, axis=1)
+    c = None
+    for (oz, oy), qq in (((0, 0), q00), ((0, 1), q01),
+                         ((1, 0), q10), ((1, 1), q11)):
+        e, o = _deinterleave(qq, axis=2)
+        for ox, part in ((0, e), (1, o)):
+            if (oz | oy | ox) == 0:
+                c = part if c is None else c + part
+                continue
+            half = 0.5 * part
+            # adjoint of lo/hi averaging: pad on the odd axes
+            pads = [(0, oz), (0, oy), (0, ox)] + [(0, 0)] * (part.ndim - 3)
+            c = c + jnp.pad(half, pads)
+            pads = [(oz, 0), (oy, 0), (ox, 0)] + [(0, 0)] * (part.ndim - 3)
+            c = c + jnp.pad(half, pads)
     return c
 
 
