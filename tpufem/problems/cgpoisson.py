@@ -127,10 +127,14 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         # kernels are AOT-compiled; timing XLA compilation would not be
         # an apples-to-apples solve time)
         jax.block_until_ready(run(op, u0, rhs))
+        # pipeline a few perturbed solves so per-dispatch transport
+        # latency (large through the TPU tunnel) amortizes out
+        reps = 3
         t0 = time.perf_counter()
-        x, it, rel = run(op, u0, rhs)
-        jax.block_until_ready(x)
-        dt = time.perf_counter() - t0
+        outs = [run(op, u0, rhs * (1.0 + 1e-6 * i)) for i in range(reps)]
+        jax.block_until_ready([o[0] for o in outs])
+        dt = (time.perf_counter() - t0) / reps
+        x, it, rel = outs[0]
         gdofs = int(it) * space.ndofs / dt / 1e9
         print(f"CG matrix-free action processed: {gdofs} Gdof/s", flush=True)
         problem._last_gdofs = gdofs

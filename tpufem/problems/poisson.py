@@ -177,6 +177,12 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
         x, it, rel = cache["run"](A, cache["pc"], u0, rhs)
         return x, int(it)
 
+    def solve_async(u0: jnp.ndarray, rhs: jnp.ndarray):
+        """Non-blocking variant (no scalar readback) for pipelined
+        benchmarking; requires a prior solver_function call (PC built)."""
+        return cache["run"](A, cache["pc"], u0, rhs)
+
+    solver_function.solve_async = solve_async
     return solver_function
 
 
