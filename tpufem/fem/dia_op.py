@@ -74,12 +74,17 @@ class DiaOperator:
     @classmethod
     def build(cls, mesh: BoxTetMesh, order: int, problem: str,
               bc_dofs: Optional[np.ndarray] = None,
-              dtype=jnp.float32) -> "DiaOperator":
+              dtype=jnp.float32, h_override=None,
+              z_cubes: Optional[int] = None) -> "DiaOperator":
+        """``z_cubes`` limits weight accumulation to the first cube layers
+        (shard-local slabs whose grids are padded to a common height)."""
         lay = grid_layout(mesh, order)
         splan = dof_slice_plan(order)
-        Ap = perm_element_matrices(mesh, order, problem)
+        Ap = perm_element_matrices(mesh, order, problem, h_override=h_override)
         bs = 3 if problem == "elasticity" else 1
         Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
+        if z_cubes is not None:
+            Nz = z_cubes
         n = len(splan[0])
 
         kinds = lay.kinds

@@ -155,14 +155,19 @@ def dof_slice_plan(order: int) -> Tuple[Tuple[Tuple[int, Tuple[int, int, int], i
 
 
 def perm_element_matrices(mesh: BoxTetMesh, order: int,
-                          problem: str = "poisson") -> np.ndarray:
+                          problem: str = "poisson",
+                          h_override=None) -> np.ndarray:
     """[6, n, n] (scalar) or [6, 3n, 3n] constant element matrices.
 
     Exact because every cube's 6 tets are translates of the 6 shapes at
     the origin cube (anisotropic in (1/Nx, 1/Ny, 1/Nz)).  ``problem`` may
     also be "mass" (the scalar mass matrix |detJ| M_ref, used for
-    structured RHS assembly)."""
-    h = np.array([1.0 / mesh.Nx, 1.0 / mesh.Ny, 1.0 / mesh.Nz])
+    structured RHS assembly).  ``h_override`` supplies the physical cube
+    size when ``mesh`` is a shard-local slab of a larger lattice."""
+    if h_override is not None:
+        h = np.asarray(h_override, dtype=np.float64)
+    else:
+        h = np.array([1.0 / mesh.Nx, 1.0 / mesh.Ny, 1.0 / mesh.Nz])
     coords = CELL_VERTEX_OFFSETS.astype(np.float64) * h[None, None, :]  # [6,4,3]
     if problem == "poisson":
         from tpufem.fem.assemble import _poisson_stiffness_np
