@@ -75,9 +75,12 @@ class DiaOperator:
     def build(cls, mesh: BoxTetMesh, order: int, problem: str,
               bc_dofs: Optional[np.ndarray] = None,
               dtype=jnp.float32, h_override=None,
-              z_cubes: Optional[int] = None) -> "DiaOperator":
+              z_cubes: Optional[int] = None,
+              bake_bc: bool = True) -> "DiaOperator":
         """``z_cubes`` limits weight accumulation to the first cube layers
-        (shard-local slabs whose grids are padded to a common height)."""
+        (shard-local slabs whose grids are padded to a common height).
+        ``bake_bc=False`` records the BC mask without eliminating rows/cols
+        in the weights (the matrix-free rows-zero convention)."""
         lay = grid_layout(mesh, order)
         splan = dof_slice_plan(order)
         Ap = perm_element_matrices(mesh, order, problem, h_override=h_override)
@@ -109,7 +112,7 @@ class DiaOperator:
 
         # bake BC elimination into the weights
         bc_grids = None
-        if bc_dofs is not None and len(bc_dofs):
+        if bake_bc and bc_dofs is not None and len(bc_dofs):
             mask = np.zeros(lay.ndofs * bs, dtype=bool)
             mask[bc_dofs] = True
             mask = mask.reshape(-1, bs)
@@ -149,6 +152,11 @@ class DiaOperator:
                    plan=tuple(plan), layout=lay, bs=bs)
 
     # -- apply --------------------------------------------------------------
+    def apply_bc_rows_zero(self, x: jnp.ndarray) -> jnp.ndarray:
+        """cgpoisson convention: zero BC rows only
+        (reference cgpoisson_problem.cpp:207)."""
+        return jnp.where(self.bc_mask, 0.0, self.apply(x))
+
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         lay = self.layout
         bs = self.bs

@@ -105,10 +105,19 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
     from tpufem.mesh.structured import BoxTetMesh
     if isinstance(mesh, BoxTetMesh):
         # constant-stencil matrix-free action: zero gather/scatter
-        # (the TPU-fast path; ~150x the throughput of gather+segment_sum)
-        from tpufem.fem.structured_op import StructuredOperator
-        op = StructuredOperator.build(mesh, order, "poisson",
-                                      bc_dofs=bc.flat_dofs(), dtype=dtype)
+        # (the TPU-fast path; ~150x the throughput of gather+segment_sum).
+        # P1 uses the DIA (shift-diagonal) form, unbaked BC weights +
+        # rows-zero mask (the matrix-free convention, columns handled by
+        # the x[bc] = 0 invariant); P2/P3 use per-perm element matmuls.
+        if order == 1:
+            from tpufem.fem.dia_op import DiaOperator
+            op = DiaOperator.build(mesh, 1, "poisson",
+                                   bc_dofs=bc.flat_dofs(), dtype=dtype,
+                                   bake_bc=False)
+        else:
+            from tpufem.fem.structured_op import StructuredOperator
+            op = StructuredOperator.build(mesh, order, "poisson",
+                                          bc_dofs=bc.flat_dofs(), dtype=dtype)
         apply_of = lambda o: o.apply_bc_rows_zero
     else:
         scatter = DofScatter(space.cell_dofs, space.ndofs_scalar)
