@@ -119,7 +119,7 @@ def main() -> None:
     with contextlib.redirect_stdout(sys.stderr):
         prob2 = cgpoisson.problem(mesh2, 2, cfg2)
         x2, it2 = prob2.solver_function(prob2.u, prob2.b)
-    log(f"cgpoisson done: {getattr(cgpoisson.problem, '_last_gdofs', 0):.3f} Gdof/s")
+    log(f"cgpoisson P2 done: {getattr(cgpoisson.problem, '_last_gdofs', 0):.3f} Gdof/s")
     gdofs = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
     extra.update({
         "cgpoisson_p2_ndofs": prob2.space.ndofs,
@@ -127,6 +127,23 @@ def main() -> None:
         "cgpoisson_p2_gdof_per_s": round(gdofs, 3),
         "cgpoisson_p2_solve_s": round(
             getattr(cgpoisson.problem, "_last_solve_s", 0.0), 4),
+    })
+
+    # ---- 3. matrix-free cgpoisson P1, 2M dofs (BASELINE.md config) --------
+    nx, ny, nz, _lv = compute_box_size_structured(2_000_000, True, 1, 1, 1)
+    mesh3 = BoxTetMesh(nx, ny, nz)
+    log("cgpoisson P1 2M: building problem")
+    with contextlib.redirect_stdout(sys.stderr):
+        cfg3 = Config(problem_type="cgpoisson", ndofs=2_000_000,
+                      scaling_type="strong", dtype="float32",
+                      solver=SolverOptions())
+        prob3 = cgpoisson.problem(mesh3, 1, cfg3)
+        x3, it3 = prob3.solver_function(prob3.u, prob3.b)
+    gdofs3 = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
+    log(f"cgpoisson P1 2M done: {gdofs3:.3f} Gdof/s")
+    extra.update({
+        "cgpoisson_p1_2m_ndofs": prob3.space.ndofs,
+        "cgpoisson_p1_2m_gdof_per_s": round(gdofs3, 3),
     })
 
     value = round(ndofs / total_s, 1)
