@@ -44,13 +44,24 @@ def rigid_body_modes(dof_coords: np.ndarray) -> np.ndarray:
     return modes.reshape(6, 3 * n)
 
 
-def build_near_nullspace(dof_coords: np.ndarray, dtype=jnp.float64) -> np.ndarray:
+def build_near_nullspace(dof_coords: np.ndarray, dtype=None) -> np.ndarray:
     """Orthonormalized [6, ndofs] near-nullspace.  Raises if the
     Gram-Schmidt result fails the orthonormality check, mirroring the
-    hard failure at elasticity_problem.cpp:76-81."""
+    hard failure at elasticity_problem.cpp:76-81.
+
+    Host float64 (setup phase; eager device ops cost ~0.3 s each through
+    the TPU tunnel and this is ~30 of them)."""
     modes = rigid_body_modes(dof_coords)
-    basis: List[jnp.ndarray] = [jnp.asarray(m, dtype=dtype) for m in modes]
-    basis = orthonormalize(basis)
-    if not is_orthonormal(basis):
+    basis: List[np.ndarray] = []
+    for m in modes:
+        v = m.astype(np.float64)
+        for u in basis:
+            v = v - (u @ v) * u
+        n = np.linalg.norm(v)
+        if n == 0.0:
+            raise RuntimeError("Space not orthonormal")
+        basis.append(v / n)
+    B = np.stack(basis)
+    if not np.allclose(B @ B.T, np.eye(6), atol=1e-4):
         raise RuntimeError("Space not orthonormal")
-    return np.stack([np.asarray(v) for v in basis])
+    return B
