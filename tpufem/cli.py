@@ -122,8 +122,11 @@ def solve(cfg: Config) -> Tuple[int, float]:
 
     with Timer("ZZZ Create facets and facet->cell connectivity"):
         facets = mesh.boundary_faces()
-        from tpufem.problems.common import facet_to_cell
-        facet_to_cell(mesh.cell_faces(), facets)
+        if cfg.mesh_type == "cube":
+            mesh.boundary_facet_cells(facets)  # closed-form table, O(facets)
+        else:
+            from tpufem.problems.common import facet_to_cell
+            facet_to_cell(mesh.cell_faces(), facets)
 
     from tpufem.problems import cgpoisson, elasticity, poisson
     problems = {"poisson": poisson.problem, "cgpoisson": cgpoisson.problem,
