@@ -114,6 +114,12 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
             op = DiaOperator.build(mesh, 1, "poisson",
                                    bc_dofs=bc.flat_dofs(), dtype=dtype,
                                    bake_bc=False)
+            if cfg.solver.extra.get("use_pallas"):
+                # fused single-pass stencil kernel (opt-in; ~2x the XLA
+                # multi-pass apply, bit-exact — see fem/pallas_stencil.py)
+                cfg.solver._consumed.add("use_pallas")
+                from tpufem.fem.pallas_stencil import PallasStencilOp
+                op = PallasStencilOp.from_dia(op)
         else:
             from tpufem.fem.structured_op import StructuredOperator
             op = StructuredOperator.build(mesh, order, "poisson",
