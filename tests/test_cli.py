@@ -76,3 +76,22 @@ def test_output_xdmf(tmp_path):
     with h5py.File(os.path.join(out, "solution-1.h5")) as f:
         assert f["/function/values"].shape[0] > 0
         assert f["/mesh/topology"].shape[1] == 4
+
+
+def test_memory_profiling(capfd):
+    """--memory_profiling: the [MEM] sampler thread logs VSIZE/RSS
+    (reference: src/mem.cpp:18-38 via --memory_profiling)."""
+    import logging
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    lg = logging.getLogger("tpufem")
+    lg.addHandler(Grab())
+    lg.setLevel(logging.INFO)
+    run_cli(["--problem_type", "poisson", "--ndofs", "3000",
+             "--num_shards", "1", "--dtype", "float64",
+             "--memory_profiling"])
+    assert any("[MEM]" in m and "RSS" in m for m in records)
