@@ -42,6 +42,54 @@ def test_dia_matches_assembled(order, dims, problem, bs):
     assert np.allclose(op.diagonal_np(), np.asarray(ell.diagonal()), atol=tol)
 
 
+@pytest.mark.parametrize("dims,problem,bake", [
+    ((8, 9, 10), "poisson", True),
+    ((8, 9, 10), "poisson", False),
+    ((7, 8, 6), "elasticity", True),
+    ((10, 6, 8), "elasticity", False),
+])
+def test_const_mode_matches_dense(dims, problem, bake):
+    """The production constant-weight build (O(1) surrogate lattice +
+    thin boundary corrections) equals the dense build to rounding."""
+    mesh = BoxTetMesh(*dims)
+    bs = 3 if problem == "elasticity" else 1
+    space = FunctionSpace(mesh, 1, bs=bs)
+    marker = (common.poisson_bc_marker if problem == "poisson"
+              else common.elasticity_bc_marker)
+    bc = DirichletBC.from_space(space, mesh.locate_boundary_facets(marker))
+    kw = dict(bc_dofs=bc.flat_dofs(), dtype=jnp.float64, bake_bc=bake)
+    oc = DiaOperator.build(mesh, 1, problem, mode="const", **kw)
+    od = DiaOperator.build(mesh, 1, problem, mode="dense", **kw)
+    assert all(m[6] is not None for m in oc.plan), "dense fallback taken"
+    scale = max(np.abs(np.asarray(w)).max() for w in od.weights)
+    x = np.random.default_rng(0).standard_normal(space.ndofs)
+    tol = 1e-13 * scale
+    assert np.abs(oc.apply_np(x) - od.apply_np(x)).max() < tol
+    assert np.abs(np.asarray(oc.apply(jnp.asarray(x)))
+                  - np.asarray(od.apply(jnp.asarray(x)))).max() < tol
+    assert np.abs(oc.diagonal_np() - od.diagonal_np()).max() < tol
+    # compression actually happened (thin shells, not dense grids)
+    assert (sum(np.asarray(w).size for w in oc.weights)
+            < sum(np.asarray(w).size for w in od.weights))
+
+
+def test_const_mode_auto_and_fallback():
+    """auto picks const for >= 6-cube lattices, dense below; irregular
+    BC patterns (not axis shells) fall back to dense."""
+    op = DiaOperator.build(BoxTetMesh(8, 8, 8), 1, "poisson",
+                           dtype=jnp.float64)
+    assert all(m[6] is not None for m in op.plan)
+    op_small = DiaOperator.build(BoxTetMesh(4, 4, 4), 1, "poisson",
+                                 dtype=jnp.float64)
+    assert all(m[6] is None for m in op_small.plan)
+    # a single interior BC dof is not shell-representable -> dense
+    mesh = BoxTetMesh(8, 8, 8)
+    mid = (4 * 9 + 4) * 9 + 4
+    op_bc = DiaOperator.build(mesh, 1, "poisson",
+                              bc_dofs=np.array([mid]), dtype=jnp.float64)
+    assert all(m[6] is None for m in op_bc.plan)
+
+
 def test_dia_triple_count_p1():
     """P1 Poisson on the Kuhn lattice has at most 15 stencil points; on
     the isotropic unit cube the diagonal couplings cancel exactly and the

@@ -15,7 +15,10 @@ from tpufem.problems import common
 
 
 @pytest.mark.parametrize("dims,tz", [((6, 5, 9), 4), ((5, 7, 6), 16),
-                                     ((4, 4, 8), 0)])
+                                     ((4, 4, 8), 0),
+                                     # >= 6 cubes/axis: const-mode operator
+                                     # -> scalar-weight kernel + corrections
+                                     ((8, 6, 10), 0), ((6, 6, 6), 4)])
 def test_pallas_stencil_matches_dia(dims, tz):
     mesh = BoxTetMesh(*dims)
     space = FunctionSpace(mesh, 1)
