@@ -103,3 +103,34 @@ def test_nullspace_orthonormal_and_in_kernel():
     for k in range(6):
         r = np.asarray(ell.matvec(jnp.asarray(nns[k])))
         assert np.abs(r).max() < 1e-4  # entries are O(1e6); kernel to rtol
+
+
+@pytest.mark.parametrize("problem_name,order", [("poisson", 1),
+                                                ("poisson", 2),
+                                                ("elasticity", 1)])
+def test_device_rhs_matches_host(problem_name, order):
+    """The float32 device-side RHS (jitted mass-stencil apply) equals the
+    host f64 assembly to f32 rounding."""
+    from tpufem.fem.dirichlet import DirichletBC
+    from tpufem.fem.space import FunctionSpace
+    from tpufem.problems import common as C
+    from tpufem.problems.elasticity import (
+        assemble_elasticity_rhs_np, assemble_elasticity_rhs_structured_dev)
+    from tpufem.problems.poisson import (assemble_poisson_rhs_np,
+                                         assemble_poisson_rhs_structured_dev)
+    mesh = BoxTetMesh(8, 10, 12)
+    if problem_name == "poisson":
+        space = FunctionSpace(mesh, order)
+        bc = DirichletBC.from_space(
+            space, mesh.locate_boundary_facets(C.poisson_bc_marker))
+        bh = assemble_poisson_rhs_np(space)
+        bd = assemble_poisson_rhs_structured_dev(space, bc, jnp.float32)
+    else:
+        space = FunctionSpace(mesh, order, bs=3)
+        bc = DirichletBC.from_space(
+            space, mesh.locate_boundary_facets(C.elasticity_bc_marker))
+        bh = assemble_elasticity_rhs_np(space)
+        bd = assemble_elasticity_rhs_structured_dev(space, bc, jnp.float32)
+    bh[bc.flat_dofs()] = bc.value
+    rel = np.abs(np.asarray(bd) - bh).max() / np.abs(bh).max()
+    assert rel < 1e-6

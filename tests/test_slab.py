@@ -1,0 +1,88 @@
+"""Slab-sharded distributed solver vs the single-device solve.
+
+The reference's correctness signal for parallel runs is that iteration
+counts and norms match the serial solve (ccpp.yml runs the same configs
+at -np 1 and -np 2).  Here the sharded GMG hierarchy is mathematically
+identical to the single-device one, so iteration counts must be EQUAL
+and solutions must agree to rounding.  Runs on the virtual 8-device CPU
+mesh (conftest.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpufem.fem.dia_op import build_operator
+from tpufem.fem.dirichlet import DirichletBC
+from tpufem.fem.space import FunctionSpace
+from tpufem.la.cg import cg_solve
+from tpufem.la.gmg import GMG
+from tpufem.mesh import BoxTetMesh
+from tpufem.parallel.slab import ShardedCubeSolver, _default_rhs
+from tpufem.problems import common
+
+
+def _single_device(mesh, problem, rtol=1e-8, maxit=60, precond=True):
+    bs = 3 if problem == "elasticity" else 1
+    marker = (common.elasticity_bc_marker if problem == "elasticity"
+              else common.poisson_bc_marker)
+    space = FunctionSpace(mesh, 1, bs=bs)
+    bc = DirichletBC.from_space(space, mesh.locate_boundary_facets(marker))
+    A = build_operator(mesh, 1, problem, bc_dofs=bc.flat_dofs(),
+                       dtype=jnp.float64)
+    b = _default_rhs(mesh, problem, bs)
+    b[bc.flat_dofs()] = 0.0
+    b = jnp.asarray(b)
+    if precond:
+        pc = GMG.setup(mesh, 1, problem, marker, dtype=jnp.float64,
+                       coarse_limit=1000)
+        run = jax.jit(lambda A, pc, b: cg_solve(
+            A.apply, b, precond=pc.vcycle, rtol=rtol, maxit=maxit))
+        x, it, rel = run(A, pc, b)
+    else:
+        run = jax.jit(lambda A, b: cg_solve(A.apply, b, rtol=rtol,
+                                            maxit=maxit))
+        x, it, rel = run(A, b)
+    return np.asarray(x), int(it), float(rel)
+
+
+@pytest.mark.parametrize("dims,S,problem,expect_K", [
+    ((8, 8, 16), 4, "poisson", 1),
+    ((16, 16, 32), 4, "poisson", 2),      # two sharded levels + suffix
+    ((8, 8, 16), 2, "elasticity", 1),     # bs=3 blocked path
+    ((12, 12, 24), 6, "poisson", 1),      # non-power-of-two shards
+])
+def test_sharded_gmg_matches_single_device(dims, S, problem, expect_K):
+    mesh = BoxTetMesh(*dims)
+    sh = ShardedCubeSolver.build(mesh, S, problem=problem,
+                                 dtype=jnp.float64, rtol=1e-8, maxit=60,
+                                 gather_limit=500)
+    assert len(sh.levels) == expect_K
+    xs, its, rels = sh.solve()
+    x1, it1, rel1 = _single_device(mesh, problem)
+    assert its == it1
+    assert rels < 1e-8
+    err = np.abs(xs - x1).max() / np.abs(x1).max()
+    assert err < 1e-10
+
+
+def test_sharded_unpreconditioned_cg():
+    """precond=False is the cgpoisson matrix-free convention."""
+    mesh = BoxTetMesh(8, 8, 16)
+    sh = ShardedCubeSolver.build(mesh, 4, problem="poisson",
+                                 dtype=jnp.float64, rtol=1e-6, maxit=200,
+                                 precond=False)
+    xs, its, rels = sh.solve()
+    x1, it1, rel1 = _single_device(mesh, "poisson", rtol=1e-6, maxit=200,
+                                   precond=False)
+    assert abs(its - it1) <= 1  # unpreconditioned CG: reduction-order fp
+    assert rels < 1e-6
+    err = np.abs(xs - x1).max() / np.abs(x1).max()
+    assert err < 1e-8
+
+
+def test_sharded_rejects_bad_shapes():
+    with pytest.raises(ValueError, match="not divisible"):
+        ShardedCubeSolver.build(BoxTetMesh(8, 8, 10), 4)
+    with pytest.raises(NotImplementedError):
+        ShardedCubeSolver.build(BoxTetMesh(8, 8, 16), 4, order=2)

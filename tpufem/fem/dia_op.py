@@ -149,12 +149,19 @@ class DiaOperator:
             mode = ("const" if order == 1
                     and min(mesh.Nx, mesh.Ny, mesh.Nz) >= 6 else "dense")
         if mode == "const":
-            out = cls._build_const(mesh, order, problem, bc_dofs, dtype,
-                                   h_override, bake_bc)
-            if out is not None:
-                return out
-        return cls._build_dense(mesh, order, problem, bc_dofs, dtype,
-                                h_override, bake_bc)
+            op = cls._build_const(mesh, order, problem, bc_dofs, dtype,
+                                  h_override, bake_bc)
+        else:
+            op = None
+        if op is None:
+            op = cls._build_dense(mesh, order, problem, bc_dofs, dtype,
+                                  h_override, bake_bc)
+        # ONE batched host->device transfer (the internal builds keep
+        # numpy: the surrogate's weights are read back on the host, and
+        # per-array transfers each pay a tunnel round trip)
+        op.weights = jax.device_put(op.weights)
+        op.bc_mask = jax.device_put(op.bc_mask)
+        return op
 
     @classmethod
     def _build_dense(cls, mesh, order, problem, bc_dofs, dtype,
@@ -219,12 +226,12 @@ class DiaOperator:
             if not np.any(Wc):
                 continue
             plan.append((ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), None))
-            weights.append(jnp.asarray(Wc.astype(np.dtype(dtype))))
+            weights.append(Wc.astype(np.dtype(dtype)))
 
         flat_mask = np.zeros(lay.ndofs * bs, dtype=bool)
         if bc_dofs is not None and len(bc_dofs):
             flat_mask[bc_dofs] = True
-        return cls(weights=weights, bc_mask=jnp.asarray(flat_mask),
+        return cls(weights=weights, bc_mask=flat_mask,
                    plan=tuple(plan), layout=lay, bs=bs)
 
     @classmethod
@@ -298,10 +305,10 @@ class DiaOperator:
                 continue
             plan.append((ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1),
                          tuple(corrs)))
-            weights.append(jnp.asarray(w0.astype(npdtype)))
-            weights.extend(jnp.asarray(c.astype(npdtype)) for c in carrs)
+            weights.append(w0.astype(npdtype))
+            weights.extend(c.astype(npdtype) for c in carrs)
 
-        return cls(weights=weights, bc_mask=jnp.asarray(flat_mask),
+        return cls(weights=weights, bc_mask=flat_mask,
                    plan=tuple(plan), layout=lay, bs=bs)
 
     # -- apply --------------------------------------------------------------
@@ -311,6 +318,45 @@ class DiaOperator:
         return jnp.where(self.bc_mask, 0.0, self.apply(x))
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        if (len(self.layout.kinds) == 1 and self.plan
+                and all(m[6] is not None for m in self.plan)
+                and all(max(abs(v) for v in m[4]) <= 1 for m in self.plan)):
+            return self._apply_p1_const(x)
+        return self._apply_generic(x)
+
+    def _apply_p1_const(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fused apply for all-const single-grid (P1) operators: ONE
+        zero-padded input grid, one shifted full-grid multiply-add per
+        diagonal (XLA fuses the sum into a single elementwise pass —
+        no dynamic-update-slice chain), then the thin corrections."""
+        lay = self.layout
+        bs = self.bs
+        Z, Y, X = lay.Nz + 1, lay.Ny + 1, lay.Nx + 1
+        comp = (bs,) if bs > 1 else ()
+        xg = x.reshape((Z, Y, X) + comp)
+        pads = ((1, 1), (1, 1), (1, 1)) + (((0, 0),) if bs > 1 else ())
+        xp = jnp.pad(xg, pads)
+        y = None
+        for (ko, so, ki, si, d, bounds, corrs), W, cl in self.terms():
+            dz, dy, dx = d[2], d[1], d[0]
+            src = xp[1 + dz: 1 + dz + Z, 1 + dy: 1 + dy + Y,
+                     1 + dx: 1 + dx + X]
+            t = (W * src if bs == 1
+                 else jnp.einsum("rs,zyxs->zyxr", W, src))
+            y = t if y is None else y + t
+        for (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs), W, cl in \
+                self.terms():
+            for (a0, a1, b0, b1, c0, c1), cw in zip(corrs, cl):
+                sub = xg[z0 + a0 + d[2]: z0 + a1 + d[2],
+                         y0 + b0 + d[1]: y0 + b1 + d[1],
+                         x0 + c0 + d[0]: x0 + c1 + d[0]]
+                contrib = (cw * sub if bs == 1
+                           else jnp.einsum("zyxrs,zyxs->zyxr", cw, sub))
+                y = y.at[z0 + a0: z0 + a1, y0 + b0: y0 + b1,
+                         x0 + c0: x0 + c1].add(contrib)
+        return y.reshape(-1)
+
+    def _apply_generic(self, x: jnp.ndarray) -> jnp.ndarray:
         lay = self.layout
         bs = self.bs
         xr = x.reshape((-1, bs)) if bs > 1 else x.reshape((-1, 1))

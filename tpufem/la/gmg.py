@@ -270,20 +270,9 @@ class GMG:
                 f"(dims {mC.Nx}x{mC.Ny}x{mC.Nz}); pick lattice dims "
                 f"divisible by 2^levels (compute_box_size_structured)")
 
-        # lmax(D^-1 A) is estimated on a SMALL surrogate lattice with the
-        # same (hx : hy : hz) anisotropy — the Jacobi-normalized spectrum
-        # of the constant stencil is resolution-independent, so one cheap
-        # estimate per distinct order serves every level (1 vCPU host)
-        import math
-        g = math.gcd(math.gcd(mesh.Nx, mesh.Ny), mesh.Nz)
-        sdims = (mesh.Nx // g, mesh.Ny // g, mesh.Nz // g)
-        scale = max(1, 8 // max(sdims))
-        surrogate = BoxTetMesh(*(d * scale for d in sdims))
         lmax_of = {}
         for k in sorted(set(orders[:-1])):
-            sop = make_level(surrogate, k)
-            sd = 1.0 / sop.diagonal_np()
-            lmax_of[k] = _host_lmax(sop, sd) * 1.05
+            lmax_of[k] = surrogate_lmax(mesh, k, problem, bc_marker, dtype)
 
         levels: List[_GLevel] = []
         for m, k in zip(meshes[:-1], orders[:-1]):
@@ -361,6 +350,34 @@ class GMG:
         e = jnp.where(lv.op.bc_mask, 0.0, e)
         x = x + e
         return smooth(x, r)
+
+
+def surrogate_lmax(mesh: BoxTetMesh, order: int, problem: str,
+                   bc_marker: Callable, dtype=jnp.float32) -> float:
+    """lmax(D^-1 A) estimated on a SMALL surrogate lattice with the same
+    (hx : hy : hz) anisotropy — the Jacobi-normalized spectrum of the
+    constant stencil is resolution-independent, so one cheap host
+    estimate serves every level of the hierarchy (1 vCPU host).  Shared
+    by the single-device GMG and the slab-sharded GMG so both smooth on
+    the identical Chebyshev interval (iteration-count parity)."""
+    import math
+
+    from tpufem.fem.dia_op import build_operator
+    from tpufem.fem.dirichlet import DirichletBC
+    from tpufem.fem.space import FunctionSpace
+
+    g = math.gcd(math.gcd(mesh.Nx, mesh.Ny), mesh.Nz)
+    sdims = (mesh.Nx // g, mesh.Ny // g, mesh.Nz // g)
+    scale = max(1, 8 // max(sdims))
+    surrogate = BoxTetMesh(*(d * scale for d in sdims))
+    bs = 3 if problem == "elasticity" else 1
+    space = FunctionSpace(surrogate, order, bs=bs)
+    facets = surrogate.locate_boundary_facets(bc_marker)
+    bc = DirichletBC.from_space(space, facets)
+    sop = build_operator(surrogate, order, problem, bc_dofs=bc.flat_dofs(),
+                         dtype=dtype)
+    sd = 1.0 / sop.diagonal_np()
+    return _host_lmax(sop, sd) * 1.05
 
 
 def _host_lmax(op: StructuredOperator, dinv_np: np.ndarray,

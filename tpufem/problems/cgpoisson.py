@@ -92,14 +92,19 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         bc = DirichletBC.from_space(space, facets)
 
     with Timer("ZZZ Assemble vector"):
-        from tpufem.problems.poisson import assemble_poisson_rhs_np
-        b_np = assemble_poisson_rhs_np(space)
         # matrix-free lifting: un = -u0 on BC dofs, assemble M into b
         # (cgpoisson_problem.cpp:159-162); u0 = 0 so it vanishes here.
         # BC dofs of b zeroed (zeroes the columns of A;
         # cgpoisson_problem.cpp:168)
-        b_np[bc.flat_dofs()] = 0.0
-        b = jnp.asarray(b_np.astype(np.dtype(dtype)))
+        if structured and dtype == jnp.float32:
+            from tpufem.problems.poisson import \
+                assemble_poisson_rhs_structured_dev
+            b = assemble_poisson_rhs_structured_dev(space, bc, dtype)
+        else:
+            from tpufem.problems.poisson import assemble_poisson_rhs_np
+            b_np = assemble_poisson_rhs_np(space)
+            b_np[bc.flat_dofs()] = 0.0
+            b = jnp.asarray(b_np.astype(np.dtype(dtype)))
 
     u = jnp.zeros(space.ndofs, dtype=dtype)
     from tpufem.mesh.structured import BoxTetMesh

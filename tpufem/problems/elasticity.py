@@ -40,6 +40,35 @@ def assemble_elasticity_rhs(space: FunctionSpace, scatter: DofScatter,
     return scatter.scatter_add(b_cells)
 
 
+def assemble_elasticity_rhs_structured_dev(space: FunctionSpace, bc,
+                                           dtype) -> jnp.ndarray:
+    """Device-side production RHS on BoxTetMesh: three jitted scalar
+    mass-stencil applies (one per component); only the closed-form f
+    interpolation stays on the host."""
+    import jax
+    mesh = space.mesh
+    f = space.interpolate(common.elasticity_f).reshape(-1, 3)
+    if space.order == 1:
+        from tpufem.fem.dia_op import DiaOperator
+        mass = DiaOperator.build(mesh, 1, "mass", dtype=dtype)
+        apply_of = lambda m, v: m.apply(v)
+    else:
+        from tpufem.fem.structured_op import StructuredOperator
+        mass = StructuredOperator.build(mesh, space.order, "mass",
+                                        dtype=dtype)
+        apply_of = lambda m, v: m.apply_raw(v)
+
+    @jax.jit
+    def rhs(mass, fd, idx, val):
+        b = jnp.stack([apply_of(mass, fd[:, r]) for r in range(3)], axis=-1)
+        return b.reshape(-1).at[idx].set(val)
+
+    nd = np.dtype(dtype)
+    return rhs(mass, jnp.asarray(f.astype(nd)),
+               jnp.asarray(bc.flat_dofs().astype(np.int32)),
+               jnp.asarray(nd.type(bc.value)))
+
+
 def assemble_elasticity_rhs_np(space: FunctionSpace) -> np.ndarray:
     """Host float64 twin (production setup path); structured mass-stencil
     fast path per component on BoxTetMesh."""
@@ -90,9 +119,12 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
                                        dtype=np.dtype(dtype))
 
     with Timer("ZZZ Assemble vector"):
-        b_np = assemble_elasticity_rhs_np(space)
-        b_np[bc.flat_dofs()] = bc.value
-        b = jnp.asarray(b_np.astype(np.dtype(dtype)))
+        if structured and dtype == jnp.float32:
+            b = assemble_elasticity_rhs_structured_dev(space, bc, dtype)
+        else:
+            b_np = assemble_elasticity_rhs_np(space)
+            b_np[bc.flat_dofs()] = bc.value
+            b = jnp.asarray(b_np.astype(np.dtype(dtype)))
 
     with Timer("ZZZ Create near-nullspace"):
         nns = build_near_nullspace(space.scalar_dof_coords())

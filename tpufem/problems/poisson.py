@@ -59,6 +59,53 @@ def assemble_poisson_rhs(space: FunctionSpace, scatter: DofScatter,
     return b
 
 
+def _facet_rhs_structured_np(space: FunctionSpace) -> np.ndarray:
+    """Host O(surface) boundary term of L on BoxTetMesh (closed-form
+    facet->cell table; the volume term is assembled on-device)."""
+    from tpufem.fem.structured_op import dof_gids_for_cells
+    from tpufem.mesh.structured import CELL_VERTEX_OFFSETS, LOCAL_FACES
+    mesh = space.mesh
+    g = space.interpolate(common.poisson_g)
+    facets = mesh.boundary_faces()
+    cubes, perms, lf = mesh.boundary_facet_cells(facets)
+    cd_cells = dof_gids_for_cells(mesh, space.order, cubes, perms)
+    h = np.array([1.0 / mesh.Nx, 1.0 / mesh.Ny, 1.0 / mesh.Nz])
+    verts = (cubes[:, None, :] + CELL_VERTEX_OFFSETS[perms]) * h
+    tri = np.take_along_axis(verts, LOCAL_FACES[lf][:, :, None], axis=1)
+    return _facet_rhs_np(space.element, g, cd_cells, tri, lf,
+                         space.ndofs_scalar)
+
+
+def assemble_poisson_rhs_structured_dev(space: FunctionSpace, bc, dtype):
+    """Device-side production RHS on BoxTetMesh: the volume term is ONE
+    jitted mass-operator apply (constant-stencil — no gathers), the
+    O(surface) facet term and the closed-form f interpolation stay on the
+    host.  Replaces the O(N) host mass apply that dominated setup time
+    (reference assembles b once per run, poisson_problem.cpp:118-131)."""
+    mesh = space.mesh
+    f = space.interpolate(common.poisson_f)
+    b_facet = _facet_rhs_structured_np(space)
+    if space.order == 1:
+        from tpufem.fem.dia_op import DiaOperator
+        mass = DiaOperator.build(mesh, 1, "mass", dtype=dtype)
+        apply_of = lambda m, v: m.apply(v)
+    else:
+        from tpufem.fem.structured_op import StructuredOperator
+        mass = StructuredOperator.build(mesh, space.order, "mass",
+                                        dtype=dtype)
+        apply_of = lambda m, v: m.apply_raw(v)
+
+    @jax.jit
+    def rhs(mass, fd, bf, idx, val):
+        return (apply_of(mass, fd) + bf).at[idx].set(val)
+
+    nd = np.dtype(dtype)
+    return rhs(mass, jnp.asarray(f.astype(nd)),
+               jnp.asarray(b_facet.astype(nd)),
+               jnp.asarray(bc.flat_dofs().astype(np.int32)),
+               jnp.asarray(nd.type(bc.value)))
+
+
 def _facet_rhs_np(el, g: np.ndarray, cd_cells: np.ndarray,
                   tri: np.ndarray, lf: np.ndarray, ndofs: int) -> np.ndarray:
     """Boundary term of L: sum over facets of 2*area * S_lf @ g_cell."""
@@ -83,20 +130,10 @@ def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
     g = space.interpolate(common.poisson_g)
 
     if isinstance(mesh, BoxTetMesh):
-        from tpufem.fem.structured_op import (StructuredOperator,
-                                              dof_gids_for_cells)
+        from tpufem.fem.structured_op import StructuredOperator
         mass_op = StructuredOperator.build(mesh, space.order, "mass",
                                            dtype=jnp.float64, device=False)
-        b = mass_op.apply_raw_np(f)
-        facets = mesh.boundary_faces()
-        cubes, perms, lf = mesh.boundary_facet_cells(facets)
-        cd_cells = dof_gids_for_cells(mesh, space.order, cubes, perms)
-        from tpufem.mesh.structured import CELL_VERTEX_OFFSETS
-        h = np.array([1.0 / mesh.Nx, 1.0 / mesh.Ny, 1.0 / mesh.Nz])
-        verts = (cubes[:, None, :] + CELL_VERTEX_OFFSETS[perms]) * h
-        tri = np.take_along_axis(verts, LOCAL_FACES[lf][:, :, None], axis=1)
-        b += _facet_rhs_np(el, g, cd_cells, tri, lf, space.ndofs_scalar)
-        return b
+        return mass_op.apply_raw_np(f) + _facet_rhs_structured_np(space)
 
     from tpufem.fem.assemble import _geometry_np
     cd = space.cell_dofs
@@ -212,9 +249,14 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
                                        dtype=np.dtype(dtype))
 
     with Timer("ZZZ Assemble vector"):
-        b_np = assemble_poisson_rhs_np(space)
-        b_np[bc.flat_dofs()] = bc.value  # apply_lifting is zero (u0 = 0)
-        b = jnp.asarray(b_np.astype(np.dtype(dtype)))
+        if structured and dtype == jnp.float32:
+            # device volume term (one jitted stencil apply); f64 runs
+            # keep the host path (TPU has no native f64)
+            b = assemble_poisson_rhs_structured_dev(space, bc, dtype)
+        else:
+            b_np = assemble_poisson_rhs_np(space)
+            b_np[bc.flat_dofs()] = bc.value  # apply_lifting is zero (u0 = 0)
+            b = jnp.asarray(b_np.astype(np.dtype(dtype)))
 
     u = jnp.zeros(space.ndofs, dtype=dtype)
     solver_function = make_solver(A, csr, mesh, order, "poisson", bc, None,
