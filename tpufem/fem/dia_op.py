@@ -121,19 +121,14 @@ class DiaOperator:
         return cls(list(weights), bc_mask, plan, layout, bs)
 
     def terms(self):
-        """Yield (meta, main_weight, corr_weights_or_None) walking the
-        flat weight list in plan order."""
-        i = 0
-        for meta in self.plan:
-            corrs = meta[6]
-            if corrs is None:
-                yield meta, self.weights[i], None
-                i += 1
-            else:
-                w0 = self.weights[i]
-                cl = self.weights[i + 1: i + 1 + len(corrs)]
-                i += 1 + len(corrs)
-                yield meta, w0, cl
+        """Yield (meta, weight) walking the weight list in plan order.
+        meta[6] is None for a dense dst-slice weight array, "table" for
+        an absolute surrogate lookup table."""
+        for meta, w in zip(self.plan, self.weights):
+            yield meta, w
+
+    def is_const(self) -> bool:
+        return bool(self.plan) and all(m[6] == "table" for m in self.plan)
 
     # -- construction -----------------------------------------------------------
     @classmethod
@@ -277,7 +272,8 @@ class DiaOperator:
         plan = []
         weights: List[jnp.ndarray] = []
         npdtype = np.dtype(dtype)
-        for (ko, so, ki, si, d, _sb, _), Ws in zip(surr.plan, surr.weights):
+        for (ko, so, ki, si, d, (sz0, sz1, sy0, sy1, sx0, sx1), _), Ws in \
+                zip(surr.plan, surr.weights):
             z0, z1, y0, y1, x0, x1 = _overlap(Z, Y, X, Z, Y, X, d)
             Lz, Ly, Lx = z1 - z0, y1 - y0, x1 - x0
             Ws = np.asarray(Ws, dtype=np.float64)
@@ -288,25 +284,18 @@ class DiaOperator:
             w0 = inner.reshape((-1,) + Ws.shape[3:])[0]
             if not (inner == w0).all():
                 return None  # interior not translation-invariant
-            D = Ws - w0
-            rz, ry, rx = (_clamp_index(Lz, Lsz, M), _clamp_index(Ly, Lsy, M),
-                          _clamp_index(Lx, Lsx, M))
-            corrs = []
-            carrs = []
-            for (a0, a1, b0, b1, c0, c1) in _face_slabs(Lz, Ly, Lx, M):
-                if a0 >= a1 or b0 >= b1 or c0 >= c1:
-                    continue
-                sub = D[np.ix_(rz[a0:a1], ry[b0:b1], rx[c0:c1])]
-                if not sub.any():
-                    continue
-                corrs.append((a0, a1, b0, b1, c0, c1))
-                carrs.append(sub)
-            if not np.any(w0) and not corrs:
+            if not Ws.any():
                 continue
+            # store the ABSOLUTE surrogate weight grid as a lookup table:
+            # the apply reconstructs the full weight field on the fly with
+            # per-axis clamp indices (three tiny fused takes — no weight
+            # traffic); zeros outside the dst slice make bounds implicit
+            # (the padded input supplies zero src there anyway)
+            T = np.zeros((sZ, sY, sX) + Ws.shape[3:])
+            T[sz0:sz1, sy0:sy1, sx0:sx1] = Ws
             plan.append((ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1),
-                         tuple(corrs)))
-            weights.append(w0.astype(npdtype))
-            weights.extend(c.astype(npdtype) for c in carrs)
+                         "table"))
+            weights.append(T.astype(npdtype))
 
         return cls(weights=weights, bc_mask=flat_mask,
                    plan=tuple(plan), layout=lay, bs=bs)
@@ -318,17 +307,33 @@ class DiaOperator:
         return jnp.where(self.bc_mask, 0.0, self.apply(x))
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        if (len(self.layout.kinds) == 1 and self.plan
-                and all(m[6] is not None for m in self.plan)
-                and all(max(abs(v) for v in m[4]) <= 1 for m in self.plan)):
-            return self._apply_p1_const(x)
-        return self._apply_generic(x)
+        if self.is_const():
+            return self._apply_table(x)
+        return self._apply_dense(x)
 
-    def _apply_p1_const(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Fused apply for all-const single-grid (P1) operators: ONE
-        zero-padded input grid, one shifted full-grid multiply-add per
-        diagonal (XLA fuses the sum into a single elementwise pass —
-        no dynamic-update-slice chain), then the thin corrections."""
+    def _clamp_maps(self):
+        """Traced per-axis clamp index vectors real-grid -> table (pure
+        iota/where — fused, no host arrays)."""
+        lay = self.layout
+        m = _SHELL + 1  # shell (2) + dst-slice offset (1)
+        out = []
+        for Lr, Ls in ((lay.Nz + 1, min(lay.Nz, 6) + 1),
+                       (lay.Ny + 1, min(lay.Ny, 6) + 1),
+                       (lay.Nx + 1, min(lay.Nx, 6) + 1)):
+            i = jnp.arange(Lr, dtype=jnp.int32)
+            out.append(jnp.where(i < m, i,
+                                 jnp.where(i >= Lr - m, Ls - (Lr - i),
+                                           Ls // 2)))
+        return out
+
+    def _apply_table(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fused apply for const-mode (P1) operators: ONE zero-padded
+        input grid; per diagonal the full weight field is reconstructed
+        on the fly from the tiny surrogate table by three clamp-indexed
+        takes, which XLA fuses into the single elementwise output pass —
+        ~(1 read + 1 write) of HBM per apply, no weight traffic, no
+        dynamic-update-slice chains (measured 13+ Gdof/s at 2M dofs on
+        one v5e vs 0.65 for dense per-diagonal weights)."""
         lay = self.layout
         bs = self.bs
         Z, Y, X = lay.Nz + 1, lay.Ny + 1, lay.Nx + 1
@@ -336,90 +341,86 @@ class DiaOperator:
         xg = x.reshape((Z, Y, X) + comp)
         pads = ((1, 1), (1, 1), (1, 1)) + (((0, 0),) if bs > 1 else ())
         xp = jnp.pad(xg, pads)
-        y = None
-        for (ko, so, ki, si, d, bounds, corrs), W, cl in self.terms():
-            dz, dy, dx = d[2], d[1], d[0]
-            src = xp[1 + dz: 1 + dz + Z, 1 + dy: 1 + dy + Y,
-                     1 + dx: 1 + dx + X]
-            t = (W * src if bs == 1
-                 else jnp.einsum("rs,zyxs->zyxr", W, src))
-            y = t if y is None else y + t
-        for (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs), W, cl in \
-                self.terms():
-            for (a0, a1, b0, b1, c0, c1), cw in zip(corrs, cl):
-                sub = xg[z0 + a0 + d[2]: z0 + a1 + d[2],
-                         y0 + b0 + d[1]: y0 + b1 + d[1],
-                         x0 + c0 + d[0]: x0 + c1 + d[0]]
-                contrib = (cw * sub if bs == 1
-                           else jnp.einsum("zyxrs,zyxs->zyxr", cw, sub))
-                y = y.at[z0 + a0: z0 + a1, y0 + b0: y0 + b1,
-                         x0 + c0: x0 + c1].add(contrib)
-        return y.reshape(-1)
+        qz, qy, qx = self._clamp_maps()
 
-    def _apply_generic(self, x: jnp.ndarray) -> jnp.ndarray:
+        def field(T):
+            return jnp.take(jnp.take(jnp.take(T, qz, 0), qy, 1), qx, 2)
+
+        if bs == 1:
+            y = None
+            for (ko, so, ki, si, d, _b, _c), T in self.terms():
+                dz, dy, dx = d[2], d[1], d[0]
+                src = xp[1 + dz: 1 + dz + Z, 1 + dy: 1 + dy + Y,
+                         1 + dx: 1 + dx + X]
+                t = field(T) * src
+                y = t if y is None else y + t
+            return y.reshape(-1)
+        # blocked (bs=3): decompose into bs*bs SCALAR component stencils
+        # with static table slices — a [.., bs, bs] weight-field einsum
+        # would stream bs^2 floats per point (10x measured slowdown)
+        comps = [xp[..., s] for s in range(bs)]
+        outs = []
+        for r in range(bs):
+            acc = None
+            for (ko, so, ki, si, d, _b, _c), T in self.terms():
+                dz, dy, dx = d[2], d[1], d[0]
+                for s in range(bs):
+                    src = comps[s][1 + dz: 1 + dz + Z, 1 + dy: 1 + dy + Y,
+                                   1 + dx: 1 + dx + X]
+                    t = field(T[..., r, s]) * src
+                    acc = t if acc is None else acc + t
+            outs.append(acc)
+        return jnp.stack(outs, axis=-1).reshape(-1)
+
+    def _apply_dense(self, x: jnp.ndarray) -> jnp.ndarray:
         lay = self.layout
         bs = self.bs
         xr = x.reshape((-1, bs)) if bs > 1 else x.reshape((-1, 1))
         grids = lay.split(xr)  # [Z, Y, X, slots, bs]
         out = [jnp.zeros_like(g) for g in grids]
-
-        def mul(W, src):
-            if bs == 1:
-                return W * src[..., 0]
-            return jnp.einsum("...rs,...s->...r", W, src)
-
-        for (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs), W, cl in \
+        for (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs), W in \
                 self.terms():
+            if corrs is not None:
+                raise ValueError("mixed table/dense operator")
             src = grids[ki][z0 + d[2]: z1 + d[2],
                             y0 + d[1]: y1 + d[1],
                             x0 + d[0]: x1 + d[0], si]  # [.., bs]
-            if corrs is None:
-                contrib = mul(W, src)
-                if bs == 1:
-                    out[ko] = out[ko].at[z0:z1, y0:y1, x0:x1, so, 0].add(contrib)
-                else:
-                    out[ko] = out[ko].at[z0:z1, y0:y1, x0:x1, so, :].add(contrib)
-                continue
-            main = mul(W, src)
             if bs == 1:
-                out[ko] = out[ko].at[z0:z1, y0:y1, x0:x1, so, 0].add(main)
+                out[ko] = out[ko].at[z0:z1, y0:y1, x0:x1, so, 0].add(
+                    W * src[..., 0])
             else:
-                out[ko] = out[ko].at[z0:z1, y0:y1, x0:x1, so, :].add(main)
-            for (a0, a1, b0, b1, c0, c1), cw in zip(corrs, cl):
-                sub = src[a0:a1, b0:b1, c0:c1]
-                contrib = mul(cw, sub)
-                idx = (slice(z0 + a0, z0 + a1), slice(y0 + b0, y0 + b1),
-                       slice(x0 + c0, x0 + c1), so)
-                if bs == 1:
-                    out[ko] = out[ko].at[idx + (0,)].add(contrib)
-                else:
-                    out[ko] = out[ko].at[idx + (slice(None),)].add(contrib)
+                out[ko] = out[ko].at[z0:z1, y0:y1, x0:x1, so, :].add(
+                    jnp.einsum("...rs,...s->...r", W, src))
         y = lay.join(out)
         return y.reshape(-1)
 
     # -- dense reconstruction / diagonal ---------------------------------------
-    def _dense_weight_np(self, meta, W, cl) -> np.ndarray:
+    def _clamp_maps_np(self):
+        lay = self.layout
+        m = _SHELL + 1
+        return (_clamp_index(lay.Nz + 1, min(lay.Nz, 6) + 1, m),
+                _clamp_index(lay.Ny + 1, min(lay.Ny, 6) + 1, m),
+                _clamp_index(lay.Nx + 1, min(lay.Nx, 6) + 1, m))
+
+    def _dense_weight_np(self, meta, W) -> np.ndarray:
         """Materialize one term's full dst-slice weight array (numpy)."""
         (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs) = meta
         if corrs is None:
             return np.asarray(W, dtype=np.float64)
-        full = np.broadcast_to(
-            np.asarray(W, dtype=np.float64),
-            (z1 - z0, y1 - y0, x1 - x0) + np.asarray(W).shape).copy()
-        for (a0, a1, b0, b1, c0, c1), cw in zip(corrs, cl):
-            full[a0:a1, b0:b1, c0:c1] += np.asarray(cw, dtype=np.float64)
-        return full
+        qz, qy, qx = self._clamp_maps_np()
+        full = np.asarray(W, dtype=np.float64)[np.ix_(qz, qy, qx)]
+        return full[z0:z1, y0:y1, x0:x1]
 
     def diagonal_np(self) -> np.ndarray:
         lay = self.layout
         bs = self.bs
         outs = [np.zeros((k[1][2], k[1][1], k[1][0], k[2], bs))
                 for k in lay.kinds]
-        for meta, W, cl in self.terms():
+        for meta, W in self.terms():
             (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs) = meta
             if (ko, so, d) != (ki, si, (0, 0, 0)):
                 continue
-            Wn = self._dense_weight_np(meta, W, cl)
+            Wn = self._dense_weight_np(meta, W)
             if bs == 1:
                 outs[ko][z0:z1, y0:y1, x0:x1, so, 0] += Wn
             else:
@@ -442,23 +443,15 @@ class DiaOperator:
             return np.einsum("...rs,...s->...r",
                              np.asarray(W, dtype=np.float64), src)
 
-        for (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs), W, cl in \
-                self.terms():
+        for meta, W in self.terms():
+            (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs) = meta
+            Wn = self._dense_weight_np(meta, W)
             src = grids[ki][z0 + d[2]: z1 + d[2], y0 + d[1]: y1 + d[1],
                             x0 + d[0]: x1 + d[0], si]
             if bs == 1:
-                outs[ko][z0:z1, y0:y1, x0:x1, so, 0] += mul(W, src)
+                outs[ko][z0:z1, y0:y1, x0:x1, so, 0] += mul(Wn, src)
             else:
-                outs[ko][z0:z1, y0:y1, x0:x1, so, :] += mul(W, src)
-            if corrs is not None:
-                for (a0, a1, b0, b1, c0, c1), cw in zip(corrs, cl):
-                    sub = src[a0:a1, b0:b1, c0:c1]
-                    idx = (slice(z0 + a0, z0 + a1), slice(y0 + b0, y0 + b1),
-                           slice(x0 + c0, x0 + c1), so)
-                    if bs == 1:
-                        outs[ko][idx + (0,)] += mul(cw, sub)
-                    else:
-                        outs[ko][idx + (slice(None),)] += mul(cw, sub)
+                outs[ko][z0:z1, y0:y1, x0:x1, so, :] += mul(Wn, src)
         return np.concatenate([o.reshape(-1, bs) for o in outs]).reshape(-1)
 
 

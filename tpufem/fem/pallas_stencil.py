@@ -94,41 +94,72 @@ def stencil_apply_pallas_scalar(x: jnp.ndarray,
     return out[:Z].reshape(-1)
 
 
+def _face_slabs(Lz, Ly, Lx, m):
+    """Disjoint cover of the boundary shell by six thin slabs."""
+    return ((0, m, 0, Ly, 0, Lx), (Lz - m, Lz, 0, Ly, 0, Lx),
+            (m, Lz - m, 0, m, 0, Lx), (m, Lz - m, Ly - m, Ly, 0, Lx),
+            (m, Lz - m, m, Ly - m, 0, m), (m, Lz - m, m, Ly - m, Lx - m, Lx))
+
+
 def dia_const_parts(op):
-    """(offsets, scalar weights) of a const-mode P1 scalar DiaOperator.
+    """(offsets, interior scalars, correction slabs) of a const-mode P1
+    scalar DiaOperator: per diagonal the interior constant for the
+    kernel, plus thin host-materialized boundary-difference slabs
+    (bounds, array) in dst-slice coordinates.
 
-    Raises ValueError when any term is dense (caller should use the
-    legacy dense path)."""
+    Raises ValueError when the operator is not const-mode P1 scalar."""
+    from tpufem.fem.dia_op import _SHELL, _clamp_index, _overlap
     lay = op.layout
-    if lay.order != 1 or op.bs != 1:
-        raise ValueError("pallas stencil path is P1 scalar only")
-    offsets = []
-    weights = []
-    for meta, W, cl in op.terms():
-        if meta[6] is None:
-            raise ValueError("dense term in operator; use dense path")
-        offsets.append(tuple(int(v) for v in meta[4]))
-        weights.append(float(np.asarray(W)))
-    return tuple(offsets), tuple(weights)
+    if lay.order != 1 or op.bs != 1 or not op.is_const():
+        raise ValueError("pallas scalar path needs a const-mode P1 "
+                         "scalar operator")
+    Z, Y, X = lay.Nz + 1, lay.Ny + 1, lay.Nx + 1
+    m = _SHELL + 1
+    offsets, weights, corrs = [], [], []
+    for meta, T in op.terms():
+        d = meta[4]
+        offsets.append(tuple(int(v) for v in d))
+        Tn = np.asarray(T, dtype=np.float64)
+        w0 = Tn[Tn.shape[0] // 2, Tn.shape[1] // 2, Tn.shape[2] // 2]
+        weights.append(float(w0))
+        # difference field on the real dst slice, sampled via clamp maps
+        z0, z1, y0, y1, x0, x1 = meta[5]
+        Lz, Ly, Lx = z1 - z0, y1 - y0, x1 - x0
+        qz = _clamp_index(Z, Tn.shape[0], m)[z0:z1]
+        qy = _clamp_index(Y, Tn.shape[1], m)[y0:y1]
+        qx = _clamp_index(X, Tn.shape[2], m)[x0:x1]
+        slabs = []
+        for (a0, a1, b0, b1, c0, c1) in _face_slabs(Lz, Ly, Lx, m):
+            if a0 >= a1 or b0 >= b1 or c0 >= c1:
+                continue
+            sub = Tn[np.ix_(qz[a0:a1], qy[b0:b1], qx[c0:c1])] - w0
+            if sub.any():
+                slabs.append(((a0, a1, b0, b1, c0, c1),
+                              sub.astype(np.asarray(T).dtype)))
+        # the kernel applies w0 over the FULL padded grid; outside the
+        # dst slice the true weight is zero, but the padded input is
+        # zero there too, so only in-slice differences need patching
+        corrs.append(tuple(slabs))
+    return tuple(offsets), tuple(weights), corrs
 
 
-def apply_corrections(op, x: jnp.ndarray) -> jnp.ndarray:
-    """Thin-slab correction contributions of a const-mode P1 scalar
-    DiaOperator (the difference between the true operator and the pure
-    interior-constant stencil over the zero-padded grid).  O(surface)
-    traffic; composed with the Pallas core by the callers."""
+def apply_corrections(op, corr_parts, x: jnp.ndarray) -> jnp.ndarray:
+    """Thin-slab correction contributions (the difference between the
+    true operator and the pure interior-constant stencil over the
+    zero-padded grid).  O(surface) traffic; composed with the Pallas
+    core by the callers."""
     lay = op.layout
     Z, Y, X = lay.Nz + 1, lay.Ny + 1, lay.Nx + 1
     xg = x.reshape(Z, Y, X)
     out = jnp.zeros_like(xg)
-    for meta, W, cl in op.terms():
-        (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs) = meta
-        src = xg[z0 + d[2]: z1 + d[2], y0 + d[1]: y1 + d[1],
-                 x0 + d[0]: x1 + d[0]]
-        for (a0, a1, b0, b1, c0, c1), cw in zip(corrs, cl):
-            sub = src[a0:a1, b0:b1, c0:c1]
+    for meta, slabs in zip(op.plan, corr_parts):
+        (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), _c) = meta
+        for (a0, a1, b0, b1, c0, c1), cw in slabs:
+            sub = xg[z0 + a0 + d[2]: z0 + a1 + d[2],
+                     y0 + b0 + d[1]: y0 + b1 + d[1],
+                     x0 + c0 + d[0]: x0 + c1 + d[0]]
             out = out.at[z0 + a0: z0 + a1, y0 + b0: y0 + b1,
-                         x0 + c0: x0 + c1].add(cw * sub)
+                         x0 + c0: x0 + c1].add(jnp.asarray(cw) * sub)
     return out.reshape(-1)
 
 
@@ -190,9 +221,10 @@ def dia_weights_dense(op) -> Tuple[jnp.ndarray, Tuple[Tuple[int, int, int], ...]
     Z, Y, X = lay.Nz + 1, lay.Ny + 1, lay.Nx + 1
     out = []
     offsets = []
-    for meta, W, cl in op.terms():
+    for meta, W in op.terms():
         (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs) = meta
-        dense = jnp.asarray(op._dense_weight_np(meta, W, cl), dtype=W.dtype)
+        dense = jnp.asarray(op._dense_weight_np(meta, np.asarray(W)),
+                            dtype=W.dtype)
         full = jnp.zeros((Z, Y, X), dtype=W.dtype)
         full = full.at[z0:z1, y0:y1, x0:x1].set(dense)
         out.append(full)
@@ -232,7 +264,7 @@ def dia_apply_pallas(op, x: jnp.ndarray, interpret: bool = False,
     dims = (lay.Nx + 1, lay.Ny + 1, lay.Nz + 1)
     itemsize = np.dtype(x.dtype).itemsize
     try:
-        offsets, scalars = dia_const_parts(op)
+        offsets, scalars, corrs = dia_const_parts(op)
     except ValueError:
         weights, offsets = dia_weights_dense(op)
         if tz == 0:
@@ -243,7 +275,7 @@ def dia_apply_pallas(op, x: jnp.ndarray, interpret: bool = False,
         tz = auto_tz(0, dims[1], dims[0], itemsize)
     y = stencil_apply_pallas_scalar(x, offsets, scalars, dims,
                                     tz=tz, interpret=interpret)
-    return y + apply_corrections(op, x)
+    return y + apply_corrections(op, corrs, x)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -253,25 +285,31 @@ class PallasStencilOp:
     interior constants are static scalars baked into the kernel, the thin
     correction slabs stay dynamic leaves applied by XLA."""
 
-    def __init__(self, dia, offsets, scalars, dims):
+    def __init__(self, dia, offsets, scalars, corrs, dims):
         self.dia = dia
         self.offsets = offsets
         self.scalars = scalars
+        self.corrs = corrs
         self.dims = dims
 
     def tree_flatten(self):
-        return (self.dia,), (self.offsets, self.scalars, self.dims)
+        arrs = tuple(tuple(cw for _b, cw in slabs) for slabs in self.corrs)
+        bounds = tuple(tuple(b for b, _cw in slabs) for slabs in self.corrs)
+        return (self.dia, arrs), (self.offsets, self.scalars, bounds,
+                                  self.dims)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        offsets, scalars, dims = aux
-        return cls(children[0], offsets, scalars, dims)
+        offsets, scalars, bounds, dims = aux
+        dia, arrs = children
+        corrs = tuple(tuple(zip(b, a)) for b, a in zip(bounds, arrs))
+        return cls(dia, offsets, scalars, corrs, dims)
 
     @classmethod
     def from_dia(cls, op) -> "PallasStencilOp":
-        offsets, scalars = dia_const_parts(op)
+        offsets, scalars, corrs = dia_const_parts(op)
         lay = op.layout
-        return cls(op, offsets, scalars,
+        return cls(op, offsets, scalars, corrs,
                    (lay.Nx + 1, lay.Ny + 1, lay.Nz + 1))
 
     @property
@@ -286,7 +324,7 @@ class PallasStencilOp:
             # Mosaic is TPU-only; CPU (tests, the virtual multi-device
             # mesh) interprets
             interpret=jax.default_backend() != "tpu")
-        return y + apply_corrections(self.dia, x)
+        return y + apply_corrections(self.dia, self.corrs, x)
 
     def apply_bc_rows_zero(self, x):
         return jnp.where(self.dia.bc_mask, 0.0, self.apply(x))
