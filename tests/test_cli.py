@@ -95,3 +95,49 @@ def test_memory_profiling(capfd):
              "--num_shards", "1", "--dtype", "float64",
              "--memory_profiling"])
     assert any("[MEM]" in m and "RSS" in m for m in records)
+
+
+def test_poisson_sharded_matches_serial():
+    """The -np 2 CI analogue (ccpp.yml:73): the sharded cube run must
+    reproduce the serial iteration count and norm for the same mesh
+    (strong scaling pins the global size)."""
+    # 35937 = 33^3 vertices: the shard-divisibility constraint and the
+    # unconstrained sizing both pick the 32x32x32 lattice, so the runs
+    # solve the identical system
+    args = ["--problem_type", "poisson", "--ndofs", "35937",
+            "--scaling_type", "strong", "--dtype", "float64",
+            "-ksp_rtol", "1e-8"]
+    it8, norm8 = run_cli(args + ["--num_shards", "8"])
+    it1, norm1 = run_cli(args + ["--num_shards", "1"])
+    assert it8 == it1
+    assert abs(norm8 - norm1) < 1e-8 * abs(norm1)
+
+
+def test_elasticity_sharded():
+    it, norm = run_cli(["--problem_type", "elasticity", "--ndofs", "4000",
+                        "--num_shards", "8", "--dtype", "float64"])
+    assert 0 < it < 80
+    assert np.isfinite(norm) and norm > 0
+
+
+def test_cgpoisson_sharded_matches_serial_norm():
+    args = ["--problem_type", "cgpoisson", "--ndofs", "35937",
+            "--scaling_type", "strong", "--dtype", "float64"]
+    it8, norm8 = run_cli(args + ["--num_shards", "8"])
+    it1, norm1 = run_cli(args + ["--num_shards", "1"])
+    assert abs(it8 - it1) <= 1
+    assert abs(norm8 - norm1) < 1e-5 * abs(norm1)
+
+
+def test_sharded_fallback_order2():
+    """Higher orders run single-device with a warning (documented)."""
+    it, norm = run_cli(["--problem_type", "poisson", "--ndofs", "15000",
+                        "--order", "2", "--num_shards", "8",
+                        "--dtype", "float64"])
+    assert 0 < it < 80 and np.isfinite(norm)
+
+
+def test_negative_option_value():
+    """'-key -1e-6' parses the negative number as the value."""
+    cfg = parse_args(["--problem_type", "poisson", "-cg_damping", "-0.5"])
+    assert cfg.solver.extra["cg_damping"] == -0.5

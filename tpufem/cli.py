@@ -60,7 +60,18 @@ def parse_args(argv: Optional[List[str]] = None) -> Config:
             raise SystemExit(f"unrecognized argument: {tok}")
         key = tok.lstrip("-")
         val: object = True
-        if i + 1 < len(unknown) and not unknown[i + 1].startswith("-"):
+
+        def _is_number(s: str) -> bool:
+            try:
+                float(s)
+                return True
+            except ValueError:
+                return False
+
+        # a following token is this option's value unless it starts a
+        # new flag; negative numbers ("-ksp_rtol -1e-6") are values
+        if i + 1 < len(unknown) and (not unknown[i + 1].startswith("-")
+                                     or _is_number(unknown[i + 1])):
             raw = unknown[i + 1]
             try:
                 val = int(raw)
@@ -94,6 +105,31 @@ def solve(cfg: Config) -> Tuple[int, float]:
 
     logger = init_logging(rank=0)
     num_shards = cfg.num_shards or len(jax.devices())
+
+    # multi-shard execution: slab-sharded SPMD on the P1 cube path
+    # (tpufem.parallel.slab); other configurations run single-device
+    use_sharded = (num_shards > 1 and cfg.mesh_type == "cube"
+                   and cfg.order == 1)
+    if num_shards > 1 and not use_sharded:
+        logger.warning(
+            "num_shards=%d requested, but %s is sharded only on the "
+            "order-1 cube path — running single-device", num_shards,
+            "the unstructured mesh" if cfg.mesh_type != "cube"
+            else f"order={cfg.order}")
+        num_shards = 1
+        use_sharded = False
+    if use_sharded and len(jax.devices()) < num_shards:
+        raise SystemExit(
+            f"num_shards={num_shards} but only {len(jax.devices())} "
+            "devices are visible (for a virtual CPU mesh set "
+            "JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={num_shards})")
+    if cfg.scatterer == "p2p":
+        logger.info("scatterer=p2p: slab halos use one ppermute ring on "
+                    "ICI either way; schedule identical to 'neighbor'")
+    if cfg.subcomm_partition:
+        logger.info("subcomm_partition: no-op under single-host SPMD "
+                    "(one process drives the device mesh)")
 
     mem = None
     if cfg.memory_profiling:
@@ -131,7 +167,12 @@ def solve(cfg: Config) -> Tuple[int, float]:
     from tpufem.problems import cgpoisson, elasticity, poisson
     problems = {"poisson": poisson.problem, "cgpoisson": cgpoisson.problem,
                 "elasticity": elasticity.problem}
-    prob = problems[cfg.problem_type](mesh, cfg.order, cfg)
+    if use_sharded:
+        from tpufem.problems import sharded
+        prob = sharded.problem(mesh, cfg.order, cfg, cfg.problem_type,
+                               num_shards)
+    else:
+        prob = problems[cfg.problem_type](mesh, cfg.order, cfg)
 
     # reproducibility summary (reference main.cpp:172-206)
     import jaxlib
@@ -168,7 +209,7 @@ def solve(cfg: Config) -> Tuple[int, float]:
             fn = os.path.join(cfg.output, f"solution-{num_shards}.xdmf")
             write_xdmf(fn, mesh, np.asarray(x), bs=prob.space.bs)
 
-    list_timings()
+    list_timings(ranks=num_shards)
 
     from tpufem.la.vector import norm
     sol_norm = float(norm(x))

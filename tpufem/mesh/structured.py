@@ -120,6 +120,15 @@ def compute_box_size_structured(target_dofs: int, strong_scaling: bool,
     while num_pdofs(s, s, s, 0, order) < N:
         s += 1
 
+    def z_ok(c, m):
+        """Slab-shardable z extent: Nz splits into num_shards equal
+        slabs with an even cube count per slab (so the distributed
+        multigrid can coarsen at least once before gathering)."""
+        if num_shards <= 1:
+            return True
+        nz = c * m
+        return nz % num_shards == 0 and (nz // num_shards) % 2 == 0
+
     while levels > 0:
         m = 1 << levels
         a0 = max(2, round(s / m))
@@ -130,9 +139,21 @@ def compute_box_size_structured(target_dofs: int, strong_scaling: bool,
             for a in range(max(a0 - 2, 2), a0 + 3):
                 for b in range(a, a + 3):
                     for c in range(b, min(b + 3, a + 3)):
+                        if not z_ok(c, m):
+                            continue
                         diff = abs(num_pdofs(a * m, b * m, c * m, 0, order) - N)
                         if best is None or diff < best[0]:
                             best = (diff, a, b, c)
+            if best is None:
+                # shard count incompatible with the near-cubic window:
+                # grow c to the nearest shardable multiple (z is the
+                # largest dim, so slab counts beyond the window only
+                # stretch the box moderately)
+                a = b = max(a0, 2)
+                c = b
+                while not z_ok(c, m):
+                    c += 1
+                best = (0, a, b, c)
             _, a, b, c = best
             return a * m, b * m, c * m, levels
         levels -= 1

@@ -161,8 +161,9 @@ class ShardedCubeSolver:
             K = 0
             while (K + 1 < len(chain)
                    and chain[K][2] % S == 0 and (chain[K][2] // S) % 2 == 0
-                   and (chain[K][0] + 1) * (chain[K][1] + 1)
-                       * (chain[K][2] + 1) * bs > gather_limit):
+                   and (K == 0  # the finest level always shards
+                        or (chain[K][0] + 1) * (chain[K][1] + 1)
+                           * (chain[K][2] + 1) * bs > gather_limit)):
                 K += 1
             if K == 0:
                 raise ValueError(

