@@ -146,6 +146,73 @@ def main() -> None:
         "cgpoisson_p1_2m_gdof_per_s": round(gdofs3, 3),
     })
 
+    # ---- 4. elasticity P1, 500k dofs, CG + GMG, rtol 1e-8 ------------------
+    from tpufem.problems import elasticity
+    cfg4 = Config(problem_type="elasticity", ndofs=NDOFS,
+                  scaling_type="strong", dtype="float32",
+                  solver=SolverOptions(pc_type="gmg", ksp_rtol=1e-8,
+                                       ksp_max_it=100))
+    nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 3, 1, 1)
+    mesh4 = BoxTetMesh(nx, ny, nz)
+    log(f"elasticity P1: mesh {nx}x{ny}x{nz}, building problem")
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sys.stderr):
+        prob4 = elasticity.problem(mesh4, 1, cfg4)
+    assemble4_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sys.stderr):
+        x4, it4 = prob4.solver_function(prob4.u, prob4.b)
+        jax.block_until_ready(x4)
+    first4_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [prob4.solver_function.solve_async(prob4.u,
+                                              prob4.b * (1.0 + 1e-6 * i))[0]
+            for i in range(REPS)]
+    jax.block_until_ready(outs)
+    solve4_s = (time.perf_counter() - t0) / REPS
+    log(f"elasticity P1 500k: assemble {assemble4_s:.2f}s, first solve "
+        f"{first4_s:.1f}s, solve {solve4_s:.3f}s, {it4} iterations")
+    extra.update({
+        "elasticity_p1_ndofs": prob4.space.ndofs,
+        "elasticity_p1_assemble_s": round(assemble4_s, 4),
+        "elasticity_p1_solve_s": round(solve4_s, 4),
+        "elasticity_p1_iterations": it4,
+        "elasticity_p1_dofs_per_s": round(
+            prob4.space.ndofs / (assemble4_s + solve4_s), 1),
+    })
+
+    # ---- 5. SA-AMG at scale: AMG-forced cube Poisson, ~216k dofs -----------
+    cfg5 = Config(problem_type="poisson", ndofs=216_000,
+                  scaling_type="strong", dtype="float32",
+                  solver=SolverOptions(pc_type="amg", ksp_rtol=1e-8,
+                                       ksp_max_it=100))
+    mesh5 = BoxTetMesh(60, 60, 60)
+    log("poisson + SA-AMG 226k: building problem")
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sys.stderr):
+        prob5 = poisson.problem(mesh5, 1, cfg5)
+    assemble5_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sys.stderr):
+        x5, it5 = prob5.solver_function(prob5.u, prob5.b)  # AMG setup+compile
+        jax.block_until_ready(x5)
+    setup5_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [prob5.solver_function.solve_async(prob5.u,
+                                              prob5.b * (1.0 + 1e-6 * i))[0]
+            for i in range(REPS)]
+    jax.block_until_ready(outs)
+    solve5_s = (time.perf_counter() - t0) / REPS
+    log(f"SA-AMG 226k: assemble {assemble5_s:.2f}s, setup+compile "
+        f"{setup5_s:.1f}s, solve {solve5_s:.3f}s, {it5} iterations")
+    extra.update({
+        "poisson_amg_ndofs": prob5.space.ndofs,
+        "poisson_amg_assemble_s": round(assemble5_s, 4),
+        "poisson_amg_setup_first_s": round(setup5_s, 4),
+        "poisson_amg_solve_s": round(solve5_s, 4),
+        "poisson_amg_iterations": it5,
+    })
+
     value = round(ndofs / total_s, 1)
     vs = 1.0
     if os.path.exists("BENCH_PREV.json"):

@@ -45,12 +45,18 @@ def node_strength_graph(A: sp.csr_matrix, bs: int, theta: float) -> sp.csr_matri
     """
     if bs > 1:
         coo = A.tocoo()
-        rows = coo.row // bs
-        cols = coo.col // bs
+        rows = (coo.row // bs).astype(np.int64)
+        cols = (coo.col // bs).astype(np.int64)
         vals = np.abs(coo.data)
         n = A.shape[0] // bs
-        S = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
-        S.sum_duplicates()  # max would be better; sum is fine for strength
+        # condense each bs*bs block by max-abs (sorted-key reduceat)
+        key = rows * n + cols
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+        mx = np.maximum.reduceat(vals[order], starts)
+        uk = key_s[starts]
+        S = sp.coo_matrix((mx, (uk // n, uk % n)), shape=(n, n)).tocsr()
     else:
         # copy index arrays: in-place ops below (setdiag/eliminate_zeros)
         # must not corrupt the caller's matrix
