@@ -45,8 +45,8 @@ def test_dia_matches_assembled(order, dims, problem, bs):
 @pytest.mark.parametrize("dims,problem,bake", [
     ((8, 9, 10), "poisson", True),
     ((8, 9, 10), "poisson", False),
-    ((7, 8, 6), "elasticity", True),
-    ((10, 6, 8), "elasticity", False),
+    ((9, 10, 11), "elasticity", True),
+    ((10, 9, 11), "elasticity", False),
 ])
 def test_const_mode_matches_dense(dims, problem, bake):
     """The production constant-weight build (O(1) surrogate lattice +
@@ -88,6 +88,63 @@ def test_const_mode_auto_and_fallback():
     op_bc = DiaOperator.build(mesh, 1, "poisson",
                               bc_dofs=np.array([mid]), dtype=jnp.float64)
     assert all(m[6] is None for m in op_bc.plan)
+
+
+@pytest.mark.parametrize("order,bake", [(2, True), (2, False),
+                                        (3, True), (3, False)])
+def test_const_mode_higher_order(order, bake):
+    """Multi-kind const-table build (P2/P3): equals the per-perm
+    StructuredOperator on every apply path (fused z-zone, 3-D table,
+    host twin) and on the diagonal."""
+    from tpufem.fem.structured_op import StructuredOperator
+    mesh = BoxTetMesh(8, 9, 10)
+    space = FunctionSpace(mesh, order)
+    bc = DirichletBC.from_space(
+        space, mesh.locate_boundary_facets(common.poisson_bc_marker))
+    oc = DiaOperator.try_const(mesh, order, "poisson",
+                               bc_dofs=bc.flat_dofs(),
+                               dtype=jnp.float64, bake_bc=bake)
+    assert oc is not None
+    so = StructuredOperator.build(mesh, order, "poisson",
+                                  bc_dofs=bc.flat_dofs(), dtype=jnp.float64)
+    x = np.random.default_rng(0).standard_normal(space.ndofs)
+    if bake:
+        ref = so.apply_np(x)
+        got_dev = np.asarray(oc.apply(jnp.asarray(x)))
+        got_np = oc.apply_np(x)
+        assert np.allclose(oc.diagonal_np(), so.diagonal_np(), atol=1e-12)
+    else:
+        bcm = np.asarray(so.bc_mask)
+        ref = np.where(bcm, 0.0, so.apply_raw_np(x))
+        got_dev = np.asarray(oc.apply_bc_rows_zero(jnp.asarray(x)))
+        got_np = np.where(np.asarray(oc.bc_mask), 0.0, oc.apply_np(x))
+    s = np.abs(ref).max()
+    assert np.abs(got_dev - ref).max() < 1e-12 * s
+    assert np.abs(got_np - ref).max() < 1e-12 * s
+    # fused and table paths agree bit-for-bit with the host twin's values
+    tab = np.asarray(oc._apply_table_multi(jnp.asarray(x)))
+    if oc._fusable() and len(oc.layout.kinds) == 1:
+        fz = np.asarray(oc._apply_const_fused(jnp.asarray(x)))
+        assert np.abs(fz - tab).max() < 1e-12 * s
+
+
+def test_fused_zzone_matches_table_p1():
+    """The production P1 z-zone fused apply (scalar and bs=3) equals the
+    3-D table apply exactly."""
+    for problem, bs in (("poisson", 1), ("elasticity", 3)):
+        mesh = BoxTetMesh(9, 8, 10)
+        space = FunctionSpace(mesh, 1, bs=bs)
+        marker = (common.poisson_bc_marker if problem == "poisson"
+                  else common.elasticity_bc_marker)
+        bc = DirichletBC.from_space(
+            space, mesh.locate_boundary_facets(marker))
+        op = DiaOperator.build(mesh, 1, problem, bc_dofs=bc.flat_dofs(),
+                               dtype=jnp.float64)
+        assert op.is_const() and op._fusable()
+        x = jnp.asarray(np.random.default_rng(3).standard_normal(space.ndofs))
+        a = np.asarray(op._apply_const_fused(x))
+        t = np.asarray(op._apply_table(x))
+        assert np.abs(a - t).max() < 1e-13 * np.abs(t).max()
 
 
 def test_dia_triple_count_p1():

@@ -46,6 +46,9 @@ from tpufem.fem.structured_op import (GridLayout, dof_slice_plan,
 from tpufem.mesh.structured import BoxTetMesh
 
 _SHELL = 2  # per-axis shell margin: truncation (1) + BC adjacency (1)
+_SURR = 8   # surrogate lattice cubes per axis (>= 2*(_SHELL+1) + 2 so the
+#             shell-clamp reconstruction has a genuine interior plane on
+#             every typed grid, incl. edge grids one shorter per axis)
 
 
 def _overlap(Zo, Yo, Xo, Zi, Yi, Xi, d):
@@ -109,16 +112,18 @@ class DiaOperator:
     plan: Tuple            # static (see class docstring)
     layout: GridLayout     # static
     bs: int                # static
+    surr_dims: Optional[Tuple[int, int, int]] = None  # static: surrogate
+    #                        lattice cubes (const mode only)
 
     def tree_flatten(self):
         return (tuple(self.weights), self.bc_mask), (self.plan, self.layout,
-                                                     self.bs)
+                                                     self.bs, self.surr_dims)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         weights, bc_mask = children
-        plan, layout, bs = aux
-        return cls(list(weights), bc_mask, plan, layout, bs)
+        plan, layout, bs, surr_dims = aux
+        return cls(list(weights), bc_mask, plan, layout, bs, surr_dims)
 
     def terms(self):
         """Yield (meta, weight) walking the weight list in plan order.
@@ -230,42 +235,71 @@ class DiaOperator:
                    plan=tuple(plan), layout=lay, bs=bs)
 
     @classmethod
+    def try_const(cls, mesh: BoxTetMesh, order: int, problem: str,
+                  bc_dofs: Optional[np.ndarray] = None, dtype=jnp.float32,
+                  bake_bc: bool = True,
+                  h_override=None) -> Optional["DiaOperator"]:
+        """Const-mode build (no dense fallback) or None — the scalar
+        P2/P3 production path; callers fall back to StructuredOperator."""
+        op = cls._build_const(mesh, order, problem, bc_dofs, dtype,
+                              h_override, bake_bc)
+        if op is None:
+            return None
+        op.weights = jax.device_put(op.weights)
+        op.bc_mask = jax.device_put(op.bc_mask)
+        return op
+
+    @classmethod
     def _build_const(cls, mesh, order, problem, bc_dofs, dtype,
                      h_override, bake_bc) -> Optional["DiaOperator"]:
-        """O(1) constant-weight build via a surrogate lattice.
+        """O(1) constant-weight build via a surrogate lattice, for EVERY
+        typed dof grid of the layout (vertex + edge + face kinds — P1-P3).
 
         Returns None when the weight structure is not shell-representable
         (caller falls back to the dense build)."""
         M = _SHELL
         lay = grid_layout(mesh, order)
-        if len(lay.kinds) != 1:
-            return None  # const mode is P1 (single vertex grid)
         bs = 3 if problem == "elasticity" else 1
+        if bs > 1 and len(lay.kinds) != 1:
+            return None  # blocked const apply is P1-only (bs^2 scalar
+            #              stencil decomposition; see _apply_table)
         Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
-        X, Y, Z = Nx + 1, Ny + 1, Nz + 1
+        if min(Nx, Ny, Nz) < 2 * (M + 1):
+            return None
         h = (tuple(h_override) if h_override is not None
              else (1.0 / Nx, 1.0 / Ny, 1.0 / Nz))
-        sdims = (min(Nx, 6), min(Ny, 6), min(Nz, 6))
-        sX, sY, sZ = sdims[0] + 1, sdims[1] + 1, sdims[2] + 1
+        sdims = (min(Nx, _SURR), min(Ny, _SURR), min(Nz, _SURR))
+        smesh = BoxTetMesh(*sdims)
+        slay = grid_layout(smesh, order)
+        rdims = [(k[1][2], k[1][1], k[1][0]) for k in lay.kinds]
+        surr_kdims = [(k[1][2], k[1][1], k[1][0]) for k in slay.kinds]
 
-        # transport the BC pattern to the surrogate (exact only for
-        # axis-shell patterns — e.g. face Dirichlet planes; verified)
+        # transport the BC pattern to the surrogate, kind by kind (exact
+        # only for axis-shell patterns — e.g. face Dirichlet planes;
+        # verified by clamping back)
         flat_mask = np.zeros(lay.ndofs * bs, dtype=bool)
         sbc_flat = None
         if bc_dofs is not None and len(bc_dofs):
             flat_mask[bc_dofs] = True
             if bake_bc:
-                g = flat_mask.reshape(Z, Y, X, bs)
-                rz, ry, rx = (_rep_index(Z, sZ, M), _rep_index(Y, sY, M),
-                              _rep_index(X, sX, M))
-                gs = g[np.ix_(rz, ry, rx)]
-                qz, qy, qx = (_clamp_index(Z, sZ, M), _clamp_index(Y, sY, M),
-                              _clamp_index(X, sX, M))
-                if not np.array_equal(g, gs[np.ix_(qz, qy, qx)]):
-                    return None
-                sbc_flat = np.nonzero(gs.reshape(-1))[0]
+                mask2 = flat_mask.reshape(-1, bs)
+                parts = []
+                for (b, (X, Y, Zd), s), (Zr, Yr, Xr), (Zs, Ys, Xs) in zip(
+                        lay.kinds, rdims, surr_kdims):
+                    g = mask2[b: b + X * Y * Zd * s].reshape(
+                        Zr, Yr, Xr, s, bs)
+                    rz, ry, rx = (_rep_index(Zr, Zs, M),
+                                  _rep_index(Yr, Ys, M),
+                                  _rep_index(Xr, Xs, M))
+                    gs = g[np.ix_(rz, ry, rx)]
+                    qz, qy, qx = (_clamp_index(Zr, Zs, M),
+                                  _clamp_index(Yr, Ys, M),
+                                  _clamp_index(Xr, Xs, M))
+                    if not np.array_equal(g, gs[np.ix_(qz, qy, qx)]):
+                        return None
+                    parts.append(gs.reshape(-1, bs))
+                sbc_flat = np.nonzero(np.concatenate(parts).reshape(-1))[0]
 
-        smesh = BoxTetMesh(*sdims)
         surr = cls._build_dense(smesh, order, problem, sbc_flat,
                                 jnp.float64, h, bake_bc)
 
@@ -274,7 +308,9 @@ class DiaOperator:
         npdtype = np.dtype(dtype)
         for (ko, so, ki, si, d, (sz0, sz1, sy0, sy1, sx0, sx1), _), Ws in \
                 zip(surr.plan, surr.weights):
-            z0, z1, y0, y1, x0, x1 = _overlap(Z, Y, X, Z, Y, X, d)
+            Zr, Yr, Xr = rdims[ko]
+            Zi, Yi, Xi = rdims[ki]
+            z0, z1, y0, y1, x0, x1 = _overlap(Zr, Yr, Xr, Zi, Yi, Xi, d)
             Lz, Ly, Lx = z1 - z0, y1 - y0, x1 - x0
             Ws = np.asarray(Ws, dtype=np.float64)
             Lsz, Lsy, Lsx = Ws.shape[:3]
@@ -291,6 +327,7 @@ class DiaOperator:
             # per-axis clamp indices (three tiny fused takes — no weight
             # traffic); zeros outside the dst slice make bounds implicit
             # (the padded input supplies zero src there anyway)
+            sZ, sY, sX = surr_kdims[ko]
             T = np.zeros((sZ, sY, sX) + Ws.shape[3:])
             T[sz0:sz1, sy0:sy1, sx0:sx1] = Ws
             plan.append((ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1),
@@ -298,7 +335,7 @@ class DiaOperator:
             weights.append(T.astype(npdtype))
 
         return cls(weights=weights, bc_mask=flat_mask,
-                   plan=tuple(plan), layout=lay, bs=bs)
+                   plan=tuple(plan), layout=lay, bs=bs, surr_dims=sdims)
 
     # -- apply --------------------------------------------------------------
     def apply_bc_rows_zero(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -308,23 +345,48 @@ class DiaOperator:
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.is_const():
+            if len(self.layout.kinds) == 1 and self._fusable():
+                # single-kind (P1): z-zone fused apply — measured 3.7x
+                # the 3-D table apply on v5e (multi-kind layouts measured
+                # FASTER with the table apply: their per-kind minor dims
+                # are too narrow for the 128-lane slab ops)
+                return self._apply_const_fused(x)
+            if len(self.layout.kinds) > 1:
+                return self._apply_table_multi(x)
             return self._apply_table(x)
         return self._apply_dense(x)
 
-    def _clamp_maps(self):
-        """Traced per-axis clamp index vectors real-grid -> table (pure
-        iota/where — fused, no host arrays)."""
+    def _fusable(self) -> bool:
+        """The fused z-zone apply needs >= 9 grid planes per axis
+        (disjoint 3-plane end zones + nonempty interior)."""
         lay = self.layout
+        return min(lay.Nx, lay.Ny, lay.Nz) >= 8
+
+    def _kind_dims(self, kind: int):
+        """((Zr, Yr, Xr), (Zs, Ys, Xs)) real/surrogate dims of one kind."""
+        lay = self.layout
+        sd = self.surr_dims or (min(lay.Nx, 6), min(lay.Ny, 6),
+                                min(lay.Nz, 6))
+        slay = grid_layout(BoxTetMesh(*sd), lay.order)
+        k, sk = lay.kinds[kind], slay.kinds[kind]
+        return ((k[1][2], k[1][1], k[1][0]),
+                (sk[1][2], sk[1][1], sk[1][0]))
+
+    def _clamp_axes(self, kind: int):
+        """Traced per-axis clamp index vectors real-grid -> table for one
+        dof kind (pure iota/where — fused, no host arrays)."""
         m = _SHELL + 1  # shell (2) + dst-slice offset (1)
+        (rz, ry, rx), (sz, sy, sx) = self._kind_dims(kind)
         out = []
-        for Lr, Ls in ((lay.Nz + 1, min(lay.Nz, 6) + 1),
-                       (lay.Ny + 1, min(lay.Ny, 6) + 1),
-                       (lay.Nx + 1, min(lay.Nx, 6) + 1)):
+        for Lr, Ls in ((rz, sz), (ry, sy), (rx, sx)):
             i = jnp.arange(Lr, dtype=jnp.int32)
             out.append(jnp.where(i < m, i,
                                  jnp.where(i >= Lr - m, Ls - (Lr - i),
                                            Ls // 2)))
         return out
+
+    def _clamp_maps(self):
+        return self._clamp_axes(0)
 
     def _apply_table(self, x: jnp.ndarray) -> jnp.ndarray:
         """Fused apply for const-mode (P1) operators: ONE zero-padded
@@ -372,6 +434,140 @@ class DiaOperator:
             outs.append(acc)
         return jnp.stack(outs, axis=-1).reshape(-1)
 
+    def _apply_table_multi(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fused const-mode apply across MULTIPLE typed dof grids (scalar
+        P2/P3): every (kind, slot) component grid is zero-padded by 2 per
+        axis (the widest (dst dim) - (src dim) + shift excursion), each
+        term multiplies a shifted src slab by the on-the-fly
+        clamp-reconstructed weight field, and XLA fuses all terms of one
+        output (kind, slot) into a single elementwise pass — no stored
+        per-diagonal weight grids, no gathers on the dof vector."""
+        lay = self.layout
+        grids = lay.split(x.reshape(-1, 1))  # [Z, Y, X, slots, 1]
+        pads = ((2, 2), (2, 2), (2, 2))
+        comps = [[jnp.pad(g[..., s, 0], pads) for s in range(g.shape[3])]
+                 for g in grids]
+        rdims = [(k[1][2], k[1][1], k[1][0]) for k in lay.kinds]
+        clamp = {}
+        acc = [[None] * k[2] for k in lay.kinds]
+        for (ko, so, ki, si, d, _b, _c), T in self.terms():
+            Z, Y, X = rdims[ko]
+            dz, dy, dx = d[2], d[1], d[0]
+            src = comps[ki][si][2 + dz: 2 + dz + Z, 2 + dy: 2 + dy + Y,
+                                2 + dx: 2 + dx + X]
+            if ko not in clamp:
+                clamp[ko] = self._clamp_axes(ko)
+            qz, qy, qx = clamp[ko]
+            w = jnp.take(jnp.take(jnp.take(T, qz, 0), qy, 1), qx, 2)
+            t = w * src
+            a = acc[ko][so]
+            acc[ko][so] = t if a is None else a + t
+        outs = []
+        for kidx, (b, _dims, s) in enumerate(lay.kinds):
+            cols = [acc[kidx][j] if acc[kidx][j] is not None
+                    else jnp.zeros(rdims[kidx], dtype=x.dtype)
+                    for j in range(s)]
+            outs.append(jnp.stack(cols, axis=-1).reshape(-1))
+        return jnp.concatenate(outs)
+
+    def _field_region(self, T, kind: int, bounds):
+        """Weight field T[qz, qy, qx] restricted to a static region,
+        built from static slices of the tiny table + a center-plane
+        broadcast per axis (the clamp maps are piecewise
+        identity/constant) — no gather instructions."""
+        m = _SHELL + 1
+        rd, sd = self._kind_dims(kind)
+        out = T
+        for ax, ((a0, a1), Lr, Ls) in enumerate(zip(bounds, rd, sd)):
+            parts = []
+            lo1 = min(a1, m)
+            if a0 < lo1:
+                parts.append(jax.lax.slice_in_dim(out, a0, lo1, axis=ax))
+            c0, c1 = max(a0, m), min(a1, Lr - m)
+            if c0 < c1:
+                mid = jax.lax.slice_in_dim(out, Ls // 2, Ls // 2 + 1,
+                                           axis=ax)
+                shape = list(mid.shape)
+                shape[ax] = c1 - c0
+                parts.append(jnp.broadcast_to(mid, shape))
+            h0 = max(a0, Lr - m)
+            if h0 < a1:
+                parts.append(jax.lax.slice_in_dim(
+                    out, Ls - (Lr - h0), Ls - (Lr - a1), axis=ax))
+            out = (jnp.concatenate(parts, axis=ax) if len(parts) > 1
+                   else parts[0])
+        return out
+
+    def _apply_const_fused(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Bandwidth-optimal const-mode apply (scalar kinds, P1-P3).
+
+        The weight field of every term varies only within 3 planes of
+        each axis end (clamp-table structure), so split each OUTPUT grid
+        into three z-zones only:
+
+        - z-mid ([3, Z-3)): the field does not depend on z there, so it
+          is a 2-D [Y, X] field (built from static slices of the tiny
+          surrogate table + a center broadcast — no gathers) BROADCAST
+          along z.  The multiply fuses with the shifted-slice reads into
+          one elementwise pass — the same HBM traffic as a pure constant
+          stencil.  XLA hoists the loop-invariant field build out of the
+          CG while_loop.
+        - z-lo / z-hi (3 planes each): exact [3, Y, X] fields; contiguous
+          slab ops (O(surface)).  Thin y/x-face slabs are deliberately
+          NOT split out: their 4-wide minor dims waste the 128-lane VPU
+          (measured 8x slower than this layout).
+
+        The output is three concats per grid — no full-grid ``.at[]``
+        updates (those copy the array).  Measured (v5e, 2M dofs P1):
+        0.11 ms/apply vs 0.67 ms for the 3-D gather-table apply.
+        """
+        lay = self.layout
+        bs = self.bs
+        grids = lay.split(x.reshape(-1, bs) if bs > 1 else x.reshape(-1, 1))
+        pads = ((2, 2), (2, 2), (2, 2))
+        comps = [[[jnp.pad(g[..., sl, c], pads) for c in range(bs)]
+                  for sl in range(g.shape[3])] for g in grids]
+        rdims = [(k[1][2], k[1][1], k[1][0]) for k in lay.kinds]
+
+        acc = {}  # (ko, so, r) -> [lo, mid, hi] accumulators
+        for (ko, so, ki, si, d, _b, _c), T in self.terms():
+            Z, Y, X = rdims[ko]
+            dz, dy, dx = d[2], d[1], d[0]
+            for r in range(bs):
+                for s in range(bs):
+                    Trs = T[..., r, s] if bs > 1 else T
+                    xp = comps[ki][si][s]
+                    src = xp[2 + dz: 2 + dz + Z, 2 + dy: 2 + dy + Y,
+                             2 + dx: 2 + dx + X]
+                    f_lo = self._field_region(Trs, ko,
+                                              ((0, 3), (0, Y), (0, X)))
+                    f_mid = self._field_region(Trs, ko,
+                                               ((3, 4), (0, Y), (0, X)))
+                    f_hi = self._field_region(
+                        Trs, ko, ((Z - 3, Z), (0, Y), (0, X)))
+                    parts = (f_lo * src[0:3], f_mid * src[3: Z - 3],
+                             f_hi * src[Z - 3: Z])
+                    a = acc.get((ko, so, r))
+                    if a is None:
+                        acc[(ko, so, r)] = list(parts)
+                    else:
+                        acc[(ko, so, r)] = [u + v
+                                            for u, v in zip(a, parts)]
+
+        outs = []
+        for kidx, (b, _dims, slots) in enumerate(lay.kinds):
+            Z, Y, X = rdims[kidx]
+            cols = []
+            for so in range(slots):
+                for r in range(bs):
+                    a = acc.get((kidx, so, r))
+                    if a is None:
+                        cols.append(jnp.zeros((Z, Y, X), dtype=x.dtype))
+                        continue
+                    cols.append(jnp.concatenate(a, axis=0))
+            outs.append(jnp.stack(cols, axis=-1).reshape(-1))
+        return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
     def _apply_dense(self, x: jnp.ndarray) -> jnp.ndarray:
         lay = self.layout
         bs = self.bs
@@ -395,19 +591,18 @@ class DiaOperator:
         return y.reshape(-1)
 
     # -- dense reconstruction / diagonal ---------------------------------------
-    def _clamp_maps_np(self):
-        lay = self.layout
+    def _clamp_maps_np(self, kind: int = 0):
         m = _SHELL + 1
-        return (_clamp_index(lay.Nz + 1, min(lay.Nz, 6) + 1, m),
-                _clamp_index(lay.Ny + 1, min(lay.Ny, 6) + 1, m),
-                _clamp_index(lay.Nx + 1, min(lay.Nx, 6) + 1, m))
+        (rz, ry, rx), (sz, sy, sx) = self._kind_dims(kind)
+        return (_clamp_index(rz, sz, m), _clamp_index(ry, sy, m),
+                _clamp_index(rx, sx, m))
 
     def _dense_weight_np(self, meta, W) -> np.ndarray:
         """Materialize one term's full dst-slice weight array (numpy)."""
         (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), corrs) = meta
         if corrs is None:
             return np.asarray(W, dtype=np.float64)
-        qz, qy, qx = self._clamp_maps_np()
+        qz, qy, qx = self._clamp_maps_np(ko)
         full = np.asarray(W, dtype=np.float64)[np.ix_(qz, qy, qx)]
         return full[z0:z1, y0:y1, x0:x1]
 
@@ -457,18 +652,28 @@ class DiaOperator:
 
 def build_operator(mesh: BoxTetMesh, order: int, problem: str,
                    bc_dofs: Optional[np.ndarray] = None,
-                   dtype=jnp.float32):
-    """Pick the structured-operator representation by order:
+                   dtype=jnp.float32, bake_bc: bool = True):
+    """Pick the structured-operator representation:
 
-    - P1: DIA stencil (7-15 shift diagonals — smallest HLO, pure VPU);
-    - P2/P3: per-perm constant element matrices (StructuredOperator) —
-      the DIA triple count grows ~quadratically with dofs/cell and would
-      bloat compile times.
-    Both expose apply / apply_np / diagonal_np / bc_mask.
+    - P1: DIA stencil (7-15 shift diagonals — smallest HLO, pure VPU),
+      fused z-zone apply;
+    - P2 scalar: const-table DIA across all typed dof grids (230 terms;
+      measured 3.1x the StructuredOperator throughput on v5e), falling
+      back to per-perm element matrices when the lattice is too small
+      for shell reconstruction;
+    - P3 and blocked (bs=3) P2/P3: StructuredOperator (P3's 1311 DIA
+      terms and the bs^2 scalar decomposition measured SLOWER than the
+      per-perm multiply-add form).
+    All expose apply / apply_np / diagonal_np / bc_mask.
     """
     if order == 1:
         return DiaOperator.build(mesh, order, problem, bc_dofs=bc_dofs,
-                                 dtype=dtype)
+                                 dtype=dtype, bake_bc=bake_bc)
+    if problem != "elasticity" and order == 2:
+        op = DiaOperator.try_const(mesh, order, problem, bc_dofs=bc_dofs,
+                                   dtype=dtype, bake_bc=bake_bc)
+        if op is not None:
+            return op
     from tpufem.fem.structured_op import StructuredOperator
     return StructuredOperator.build(mesh, order, problem, bc_dofs=bc_dofs,
                                     dtype=dtype)

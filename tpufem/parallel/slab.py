@@ -242,7 +242,8 @@ class ShardedCubeSolver:
         rtol, maxit = self.rtol, self.maxit
         degree = self.smoother_degree
         # static per-level metadata (closed over; only arrays are args)
-        meta = [(lv.dims, lv.nzl, lv.lmax, lv.op.plan, lv.op.layout)
+        meta = [(lv.dims, lv.nzl, lv.lmax, lv.op.plan, lv.op.layout,
+                 lv.op.surr_dims)
                 for lv in self.levels]
         K = len(self.levels)
         preconditioned = self.suffix is not None
@@ -257,8 +258,8 @@ class ShardedCubeSolver:
             lbc = [m[0] for m in lbc]
             owned = owned[0]
             b = b[0]
-            ops = [DiaOperator(list(w), None, plan, lay, bs)
-                   for w, (_d, _n, _l, plan, lay) in zip(lw, meta)]
+            ops = [DiaOperator(list(w), None, plan, lay, bs, sd)
+                   for w, (_d, _n, _l, plan, lay, sd) in zip(lw, meta)]
 
             def halo_rev(y, n, t):
                 """Bottom-plane partial sums -> owner above, accumulate."""

@@ -120,7 +120,7 @@ class ShardedStructuredPoisson:
             weights = [w[0] for w in weights]
             bc_mask, owned_mask, b = bc_mask[0], owned_mask[0], b[0]
             dia = DiaOperator(list(weights), bc_mask, self.dia.plan,
-                              self.dia.layout, 1)
+                              self.dia.layout, 1, self.dia.surr_dims)
             S = jax.lax.axis_size("shard")
 
             def action(x):

@@ -111,32 +111,27 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
     if isinstance(mesh, BoxTetMesh):
         # constant-stencil matrix-free action: zero gather/scatter
         # (the TPU-fast path; ~150x the throughput of gather+segment_sum).
-        # P1 uses the DIA (shift-diagonal) form, unbaked BC weights +
-        # rows-zero mask (the matrix-free convention, columns handled by
-        # the x[bc] = 0 invariant); P2/P3 use per-perm element matmuls.
-        if order == 1:
-            from tpufem.fem.dia_op import DiaOperator
-            op = DiaOperator.build(mesh, 1, "poisson",
-                                   bc_dofs=bc.flat_dofs(), dtype=dtype,
-                                   bake_bc=False)
-            if cfg.solver.extra.get("use_pallas"):
-                # fused single-pass stencil kernel (opt-in; the default
-                # XLA table apply fuses to the same single pass and
-                # benchmarks faster on this hardware — the kernel remains
-                # for comparison; see fem/pallas_stencil.py)
-                cfg.solver._consumed.add("use_pallas")
-                from tpufem.fem.pallas_stencil import PallasStencilOp
-                try:
-                    op = PallasStencilOp.from_dia(op)
-                except ValueError:
-                    import logging
-                    logging.getLogger("tpufem").warning(
-                        "use_pallas ignored: operator is not const-mode "
-                        "P1 (lattice below 6 cubes/axis)")
-        else:
-            from tpufem.fem.structured_op import StructuredOperator
-            op = StructuredOperator.build(mesh, order, "poisson",
-                                          bc_dofs=bc.flat_dofs(), dtype=dtype)
+        # All orders use the DIA (shift-diagonal) form where the lattice
+        # permits — unbaked BC weights + rows-zero mask (the matrix-free
+        # convention, columns handled by the x[bc] = 0 invariant); tiny
+        # lattices fall back to per-perm element matmuls.
+        from tpufem.fem.dia_op import build_operator
+        op = build_operator(mesh, order, "poisson", bc_dofs=bc.flat_dofs(),
+                            dtype=dtype, bake_bc=False)
+        if order == 1 and cfg.solver.extra.get("use_pallas"):
+            # fused single-pass stencil kernel (opt-in; the default
+            # XLA table apply fuses to the same single pass and
+            # benchmarks faster on this hardware — the kernel remains
+            # for comparison; see fem/pallas_stencil.py)
+            cfg.solver._consumed.add("use_pallas")
+            from tpufem.fem.pallas_stencil import PallasStencilOp
+            try:
+                op = PallasStencilOp.from_dia(op)
+            except ValueError:
+                import logging
+                logging.getLogger("tpufem").warning(
+                    "use_pallas ignored: operator is not const-mode "
+                    "P1 (lattice below 6 cubes/axis)")
         apply_of = lambda o: o.apply_bc_rows_zero
     else:
         scatter = DofScatter(space.cell_dofs, space.ndofs_scalar)
