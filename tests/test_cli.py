@@ -129,12 +129,24 @@ def test_cgpoisson_sharded_matches_serial_norm():
     assert abs(norm8 - norm1) < 1e-5 * abs(norm1)
 
 
-def test_sharded_fallback_order2():
-    """Higher orders run single-device with a warning (documented)."""
+def test_sharded_order2_rowshard():
+    """Higher orders execute the row-sharded assembled path (distributed
+    SA-AMG); same CI bounds as the serial run."""
     it, norm = run_cli(["--problem_type", "poisson", "--ndofs", "15000",
                         "--order", "2", "--num_shards", "8",
                         "--dtype", "float64"])
     assert 0 < it < 80 and np.isfinite(norm)
+
+
+def test_sharded_unstructured_rowshard():
+    """The 2-rank spoke-mesh CI analogue (ccpp.yml:102-117): completes
+    across shards (the spoke Neumann system is singular by design — the
+    reference job, too, is a smoke test)."""
+    it, norm = run_cli(["--problem_type", "poisson",
+                        "--mesh_type", "unstructured", "--ndofs", "4000",
+                        "--num_shards", "2", "--dtype", "float64",
+                        "-ksp_max_it", "40"])
+    assert 0 < it <= 40 and np.isfinite(norm)
 
 
 def test_negative_option_value():

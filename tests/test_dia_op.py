@@ -123,9 +123,8 @@ def test_const_mode_higher_order(order, bake):
     assert np.abs(got_np - ref).max() < 1e-12 * s
     # fused and table paths agree bit-for-bit with the host twin's values
     tab = np.asarray(oc._apply_table_multi(jnp.asarray(x)))
-    if oc._fusable() and len(oc.layout.kinds) == 1:
-        fz = np.asarray(oc._apply_const_fused(jnp.asarray(x)))
-        assert np.abs(fz - tab).max() < 1e-12 * s
+    fz = np.asarray(oc._apply_const_fused(jnp.asarray(x)))
+    assert np.abs(fz - tab).max() < 1e-12 * s
 
 
 def test_fused_zzone_matches_table_p1():
@@ -140,7 +139,7 @@ def test_fused_zzone_matches_table_p1():
             space, mesh.locate_boundary_facets(marker))
         op = DiaOperator.build(mesh, 1, problem, bc_dofs=bc.flat_dofs(),
                                dtype=jnp.float64)
-        assert op.is_const() and op._fusable()
+        assert op.is_const()
         x = jnp.asarray(np.random.default_rng(3).standard_normal(space.ndofs))
         a = np.asarray(op._apply_const_fused(x))
         t = np.asarray(op._apply_table(x))

@@ -107,18 +107,18 @@ def solve(cfg: Config) -> Tuple[int, float]:
     num_shards = cfg.num_shards or len(jax.devices())
 
     # multi-shard execution: slab-sharded SPMD on the P1 cube path
-    # (tpufem.parallel.slab); other configurations run single-device
+    # (tpufem.parallel.slab); unstructured meshes and higher orders use
+    # the row-sharded assembled path (tpufem.parallel.rowshard)
     use_sharded = (num_shards > 1 and cfg.mesh_type == "cube"
                    and cfg.order == 1)
-    if num_shards > 1 and not use_sharded:
+    use_rowshard = (num_shards > 1 and not use_sharded
+                    and cfg.problem_type in ("poisson", "elasticity"))
+    if num_shards > 1 and not (use_sharded or use_rowshard):
         logger.warning(
-            "num_shards=%d requested, but %s is sharded only on the "
-            "order-1 cube path — running single-device", num_shards,
-            "the unstructured mesh" if cfg.mesh_type != "cube"
-            else f"order={cfg.order}")
+            "num_shards=%d requested, but cgpoisson is sharded only on "
+            "the order-1 cube path — running single-device", num_shards)
         num_shards = 1
-        use_sharded = False
-    if use_sharded and len(jax.devices()) < num_shards:
+    if (use_sharded or use_rowshard) and len(jax.devices()) < num_shards:
         raise SystemExit(
             f"num_shards={num_shards} but only {len(jax.devices())} "
             "devices are visible (for a virtual CPU mesh set "
@@ -171,6 +171,10 @@ def solve(cfg: Config) -> Tuple[int, float]:
         from tpufem.problems import sharded
         prob = sharded.problem(mesh, cfg.order, cfg, cfg.problem_type,
                                num_shards)
+    elif use_rowshard:
+        from tpufem.problems import sharded
+        prob = sharded.problem_rowshard(mesh, cfg.order, cfg,
+                                        cfg.problem_type, num_shards)
     else:
         prob = problems[cfg.problem_type](mesh, cfg.order, cfg)
 

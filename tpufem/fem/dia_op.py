@@ -345,11 +345,13 @@ class DiaOperator:
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.is_const():
-            if len(self.layout.kinds) == 1 and self._fusable():
-                # single-kind (P1): z-zone fused apply — measured 3.7x
-                # the 3-D table apply on v5e (multi-kind layouts measured
-                # FASTER with the table apply: their per-kind minor dims
-                # are too narrow for the 128-lane slab ops)
+            if (self.bs == 1 and len(self.layout.kinds) == 1
+                    and self._fusable()):
+                # single-kind scalar (P1): z-zone fused apply — measured
+                # 3.7x the 3-D table apply on v5e.  bs=3 and multi-kind
+                # layouts measured FASTER with the table apply (bs^2 and
+                # per-kind term fanout blow up both compile time and the
+                # slab-op count), so they stay on it.
                 return self._apply_const_fused(x)
             if len(self.layout.kinds) > 1:
                 return self._apply_table_multi(x)
@@ -358,9 +360,12 @@ class DiaOperator:
 
     def _fusable(self) -> bool:
         """The fused z-zone apply needs >= 9 grid planes per axis
-        (disjoint 3-plane end zones + nonempty interior)."""
+        (disjoint 3-plane end zones + nonempty interior); below 16 cubes
+        per axis the operator is latency-bound either way and the table
+        apply's much smaller HLO compiles faster (multigrid programs
+        contain one apply per level per smoothing step)."""
         lay = self.layout
-        return min(lay.Nx, lay.Ny, lay.Nz) >= 8
+        return min(lay.Nx, lay.Ny, lay.Nz) >= 16
 
     def _kind_dims(self, kind: int):
         """((Zr, Yr, Xr), (Zs, Ys, Xs)) real/surrogate dims of one kind."""

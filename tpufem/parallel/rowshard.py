@@ -1,0 +1,286 @@
+"""Row-sharded assembled-operator solver — the distributed path for
+UNSTRUCTURED meshes (and any assembled-CSR problem).
+
+Reference behavior matched: the spoke-mesh CI jobs run the assembled
+Poisson problem on multiple MPI ranks with CG + AMG to rtol 1e-8
+(/root/reference/.github/workflows/ccpp.yml:102-117, distributed
+create_mesh at src/mesh.cpp:362-368).  TPU-native design:
+
+- **partition**: dofs are partitioned by a Morton space-filling curve
+  over dof coordinates (tpufem.parallel.gmap.partition_cells_sfc) —
+  the deterministic, communication-free replacement for
+  ParMETIS/PT-SCOTCH (src/mesh.cpp:153-162);
+- **operator**: owner-computes-rows.  Each shard holds the FULL rows of
+  its owned dofs in padded-ELL form with columns remapped to local
+  [owned | ghost] slots; one SpMV = dense [rows, K] gather-multiply-sum
+  followed by a forward ghost refresh (a static ppermute schedule,
+  tpufem.parallel.gmap.GeneralIndexMaps.fwd).  No reverse scatter is
+  needed: rows are never split across shards;
+- **preconditioner**: SA-AMG with the FINE level distributed (sharded
+  Chebyshev smoothing + sharded prolongation) and the coarser levels
+  replicated on every shard — the residual is all_gather-ed once per
+  V-cycle at the first coarse level, where it is O(N/30) of the fine
+  size.  This mirrors the slab solver's replicated-suffix design
+  (tpufem.parallel.slab) and keeps iteration counts identical to the
+  single-device SA-AMG (same hierarchy, same arithmetic);
+- **reductions**: owned-masked psum dots (MPI_Allreduce of cg.h:65).
+
+Everything runs inside ONE jitted shard_map program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpufem.la.cg import cg_solve
+from tpufem.la.chebyshev import chebyshev_smoother
+from tpufem.parallel.gmap import (GeneralIndexMaps, build_general_maps,
+                                  partition_cells_sfc)
+
+
+def _localize_rows(A: sp.csr_matrix, gmap: GeneralIndexMaps, shard: int,
+                   K: int, dtype) -> Tuple[np.ndarray, np.ndarray]:
+    """Owned rows of A as padded ELL with LOCAL column slots."""
+    no = int(gmap.owned_counts[shard])
+    rows = gmap.local_gids[shard, :no]
+    cols = np.zeros((gmap.max_owned, K), dtype=np.int32)
+    vals = np.zeros((gmap.max_owned, K), dtype=dtype)
+    sub = A[rows]
+    indptr, indices, data = sub.indptr, sub.indices, sub.data
+    loc = gmap.local_of_global(shard, indices.astype(np.int64))
+    nnz = np.diff(indptr)
+    rowids = np.repeat(np.arange(no), nnz)
+    colpos = np.arange(indices.shape[0]) - indptr[rowids]
+    cols[rowids, colpos] = loc
+    vals[rowids, colpos] = data
+    return cols, vals
+
+
+@dataclasses.dataclass
+class ShardedEllSolver:
+    """Distributed CG over row-sharded ELL, SA-AMG preconditioned."""
+
+    gmap: GeneralIndexMaps
+    data: dict                 # stacked [S, ...] device arrays
+    repl: dict                 # replicated arrays (suffix AMG, PT0, gids)
+    suffix: object             # SAAMG over levels[1:] (or None)
+    ndofs: int
+    S: int
+    mesh_axis: Mesh
+    rtol: float
+    maxit: int
+    smoother_degree: int
+    lmax0: float
+    has_fine_level: bool
+    _cache: dict = dataclasses.field(default_factory=dict)
+
+    @classmethod
+    def build(cls, space, bc, csr_tuple, b_global: np.ndarray, nshards: int,
+              options, dtype=jnp.float32,
+              near_nullspace: Optional[np.ndarray] = None,
+              rtol: float = 1e-8, maxit: int = 100,
+              devices=None) -> "ShardedEllSolver":
+        from tpufem.la.amg import SAAMG
+
+        indptr, indices, data = csr_tuple
+        bs = bc.bs
+        if data.ndim == 3:
+            nb = indptr.shape[0] - 1
+            A = sp.bsr_matrix((data, indices, indptr),
+                              shape=(nb * bs, nb * bs)).tocsr()
+        else:
+            A = sp.csr_matrix((data, indices, indptr))
+        N = A.shape[0]
+        S = nshards
+        npdtype = np.dtype(dtype)
+
+        # dof partition: SFC over dof coordinates (bs components stay
+        # together: partition scalar nodes, repeat for components)
+        node_shard = partition_cells_sfc(space.scalar_dof_coords(), S)
+        owner_of = np.repeat(node_shard, bs) if bs > 1 else node_shard
+
+        # local dof sets: owned + all columns of owned rows
+        local_sets = []
+        for s in range(S):
+            rows = np.flatnonzero(owner_of == s)
+            cols = A[rows].indices
+            local_sets.append(np.unique(np.concatenate([rows, cols])))
+        gmap = build_general_maps(local_sets, owner_of)
+
+        K = int(np.diff(A.indptr).max())
+        ell_cols = np.zeros((S, gmap.max_owned, K), dtype=np.int32)
+        ell_vals = np.zeros((S, gmap.max_owned, K), dtype=npdtype)
+        for s in range(S):
+            ell_cols[s], ell_vals[s] = _localize_rows(A, gmap, s, K, npdtype)
+
+        # SA-AMG hierarchy on the global matrix (host setup — the
+        # partitioner-analogue phase); level 0 re-sharded below
+        amg = SAAMG.setup(csr_tuple, bs=bs, options=options, dtype=dtype,
+                          near_nullspace=near_nullspace, bc_mask=bc.mask())
+        has_fine = len(amg.levels) > 0
+        repl = {}
+        suffix = None
+        lmax0 = 1.0
+        dinv_loc = np.zeros((S, gmap.nlocal), dtype=npdtype)
+        if has_fine:
+            lv0 = amg.levels[0]
+            lmax0 = lv0.lmax
+            dglob = np.zeros(N)
+            dv = np.asarray(lv0.dinv, dtype=np.float64)
+            dglob[:dv.shape[0]] = dv
+            for s in range(S):
+                dinv_loc[s] = dglob[gmap.local_gids[s]]
+            # P rows for ALL local slots (owned + ghost): the prolongated
+            # error is consistent without any exchange (xc is replicated)
+            Pc = np.asarray(lv0.P.cols)
+            Pv = np.asarray(lv0.P.vals)
+            Kp = Pc.shape[1]
+            p_cols = np.zeros((S, gmap.nlocal, Kp), dtype=np.int32)
+            p_vals = np.zeros((S, gmap.nlocal, Kp), dtype=npdtype)
+            for s in range(S):
+                no = int(gmap.owned_counts[s])
+                ng = int(gmap.ghost_counts[s])
+                sl = np.concatenate([gmap.local_gids[s, :no],
+                                     gmap.local_gids[s, gmap.max_owned:
+                                                     gmap.max_owned + ng]])
+                dst = np.concatenate([np.arange(no),
+                                      gmap.max_owned + np.arange(ng)])
+                p_cols[s, dst] = Pc[sl]
+                p_vals[s, dst] = Pv[sl]
+            repl["pt0_cols"] = jnp.asarray(np.asarray(lv0.PT.cols))
+            repl["pt0_vals"] = jnp.asarray(np.asarray(lv0.PT.vals))
+            from tpufem.la.amg import SAAMG as _S
+            suffix = _S(levels=amg.levels[1:], coarse_inv=amg.coarse_inv,
+                        smoother_degree=amg.smoother_degree,
+                        level_sizes=amg.level_sizes[1:])
+        else:
+            suffix = amg  # levels empty -> vcycle = dense coarse solve
+
+        data_d = dict(
+            ell_cols=jnp.asarray(ell_cols),
+            ell_vals=jnp.asarray(ell_vals),
+            dinv=jnp.asarray(dinv_loc),
+            owned_mask=jnp.asarray(gmap.owned_mask),
+            send_idx=jnp.asarray(gmap.send_idx.astype(np.int32)),
+            send_mask=jnp.asarray(gmap.send_mask),
+            recv_idx=jnp.asarray(gmap.recv_idx.astype(np.int32)),
+            recv_mask=jnp.asarray(gmap.recv_mask),
+            b=jnp.asarray(gmap.distribute(
+                b_global.astype(np.float64)).astype(npdtype)),
+        )
+        if has_fine:
+            data_d["p_cols"] = jnp.asarray(p_cols)
+            data_d["p_vals"] = jnp.asarray(p_vals)
+        repl["local_gids"] = jnp.asarray(gmap.local_gids.astype(np.int32))
+        repl["owned_mask_all"] = jnp.asarray(gmap.owned_mask)
+
+        if devices is None:
+            devices = jax.devices()
+        if len(devices) < S:
+            raise ValueError(f"need {S} devices, have {len(devices)}")
+        mesh_axis = Mesh(np.array(devices[:S]), ("shard",))
+        return cls(gmap=gmap, data=data_d, repl=repl, suffix=suffix,
+                   ndofs=N, S=S, mesh_axis=mesh_axis, rtol=rtol,
+                   maxit=maxit, smoother_degree=amg.smoother_degree,
+                   lmax0=lmax0, has_fine_level=has_fine)
+
+    # -- jitted SPMD program -------------------------------------------------
+    def _build_program(self):
+        gm = self.gmap
+        N = self.ndofs
+        rtol, maxit = self.rtol, self.maxit
+        degree = self.smoother_degree
+        lmax0 = self.lmax0
+        has_fine = self.has_fine_level
+        rounds = gm.rounds
+        max_owned = gm.max_owned
+
+        def shard_fn(d, repl, suffix):
+            d = {k: v[0] for k, v in d.items()}
+            lg_all = repl["local_gids"]          # [S, nlocal] replicated
+            om_all = repl["owned_mask_all"]
+
+            def fwd(y):
+                for r, perm in enumerate(rounds):
+                    vals = jnp.where(d["send_mask"][r],
+                                     y[d["send_idx"][r]], 0.0)
+                    recv = jax.lax.ppermute(vals, "shard", perm)
+                    upd = jnp.where(d["recv_mask"][r], recv,
+                                    y[d["recv_idx"][r]])
+                    y = y.at[d["recv_idx"][r]].set(upd)
+                return y
+
+            def spmv(x):
+                y_own = jnp.sum(d["ell_vals"] * x[d["ell_cols"]], axis=1)
+                y = jnp.zeros_like(x).at[:max_owned].set(y_own)
+                return fwd(y)
+
+            def gather_global(y):
+                ag = jax.lax.all_gather(y, "shard")      # [S, nlocal]
+                lg = jnp.where(om_all, lg_all, N)
+                return jnp.zeros(N + 1, y.dtype).at[
+                    lg.reshape(-1)].set(ag.reshape(-1))[:N]
+
+            def precond(r):
+                if not has_fine:
+                    eg = suffix.vcycle(gather_global(r))
+                    k = jax.lax.axis_index("shard")
+                    return eg[jnp.clip(lg_all[k], 0, N - 1)]
+                smooth = chebyshev_smoother(spmv, d["dinv"], lmax0,
+                                            degree=degree)
+                x = smooth(jnp.zeros_like(r), r)
+                rr = r - spmv(x)
+                glob = gather_global(rr)
+                rc = jnp.sum(repl["pt0_vals"] * glob[repl["pt0_cols"]],
+                             axis=1)
+                ec = suffix.vcycle(rc)
+                e = jnp.sum(d["p_vals"] * ec[d["p_cols"]], axis=1)
+                return smooth(x + e, r)
+
+            def dot(u, v):
+                t = (jnp.float64 if (u.dtype == jnp.float32
+                                     and jax.config.jax_enable_x64)
+                     else u.dtype)
+                local = jnp.sum(jnp.where(d["owned_mask"],
+                                          u.astype(t) * v.astype(t), 0.0))
+                return jax.lax.psum(local, "shard")
+
+            x, it, rel = cg_solve(spmv, d["b"], precond=precond,
+                                  rtol=rtol, maxit=maxit, dot_fn=dot)
+            return x[None], it, rel
+
+        specs_d = {k: P("shard") for k in self.data}
+        fn = jax.shard_map(
+            shard_fn, mesh=self.mesh_axis,
+            in_specs=(specs_d, P(), P()),
+            out_specs=(P("shard"), P(), P()),
+        )
+        return jax.jit(fn)
+
+    def _run(self):
+        if "run" not in self._cache:
+            self._cache["run"] = self._build_program()
+        return self._cache["run"](self.data, self.repl, self.suffix)
+
+    def solve(self) -> Tuple[np.ndarray, int, float]:
+        x_loc, it, rel = self._run()
+        jax.block_until_ready(x_loc)
+        x = self.gmap.collect(np.asarray(x_loc), self.ndofs)
+        return x, int(it), float(rel)
+
+    def solve_timed(self, reps: int = 3) -> Tuple[np.ndarray, int, float, float]:
+        jax.block_until_ready(self._run()[0])
+        t0 = time.perf_counter()
+        outs = [self._run()[0] for _ in range(reps)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / reps
+        x, it, rel = self.solve()
+        return x, it, rel, dt

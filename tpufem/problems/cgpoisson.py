@@ -150,9 +150,9 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         # kernels are AOT-compiled; timing XLA compilation would not be
         # an apples-to-apples solve time)
         jax.block_until_ready(run(op, u0, rhs))
-        # pipeline a few perturbed solves so per-dispatch transport
-        # latency (large through the TPU tunnel) amortizes out
-        reps = 3
+        # pipeline several perturbed solves so per-dispatch transport
+        # latency (~25-30 ms through the TPU tunnel) amortizes out
+        reps = 10
         t0 = time.perf_counter()
         outs = [run(op, u0, rhs * (1.0 + 1e-6 * i)) for i in range(reps)]
         jax.block_until_ready([o[0] for o in outs])

@@ -48,6 +48,68 @@ def _global_rhs(space: FunctionSpace, bc, problem_name: str, dtype):
     return assemble_poisson_rhs_np(space)
 
 
+def problem_rowshard(mesh, order: int, cfg: Config, problem_name: str,
+                     num_shards: int) -> common.Problem:
+    """Row-sharded assembled path (unstructured meshes; cube order >= 2):
+    distributed CG + SA-AMG with sharded fine level
+    (tpufem.parallel.rowshard).  Reference: the spoke-mesh CI jobs run
+    assembled Poisson + AMG on 2 ranks (ccpp.yml:102-117)."""
+    import numpy as np
+
+    from tpufem.fem.assemble import assemble_operator
+    from tpufem.parallel.rowshard import ShardedEllSolver
+
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    bs = 3 if problem_name == "elasticity" else 1
+    marker = (common.elasticity_bc_marker if problem_name == "elasticity"
+              else common.poisson_bc_marker)
+    solver = cfg.solver
+
+    with Timer("ZZZ FunctionSpace"):
+        space = FunctionSpace(mesh, order, bs=bs)
+        _ = space.cell_dofs
+
+    with Timer("ZZZ Create boundary conditions"):
+        facets = mesh.locate_boundary_facets(marker)
+        bc = DirichletBC.from_space(space, facets)
+
+    with Timer("ZZZ Assemble matrix"):
+        _A, csr = assemble_operator(space, bc, problem_name,
+                                    dtype=np.float64)
+
+    with Timer("ZZZ Assemble vector"):
+        if problem_name == "elasticity":
+            from tpufem.problems.elasticity import \
+                assemble_elasticity_rhs_np
+            b_np = assemble_elasticity_rhs_np(space)
+        else:
+            from tpufem.problems.poisson import assemble_poisson_rhs_np
+            b_np = assemble_poisson_rhs_np(space)
+        b_np[bc.flat_dofs()] = bc.value
+
+    nns = None
+    if problem_name == "elasticity":
+        from tpufem.la.nullspace import build_near_nullspace
+        with Timer("ZZZ Create near-nullspace"):
+            nns = build_near_nullspace(space.scalar_dof_coords())
+
+    with Timer("ZZZ Solver setup"):
+        sh = ShardedEllSolver.build(
+            space, bc, csr, b_np, num_shards, solver, dtype=dtype,
+            near_nullspace=nns, rtol=float(solver.get("ksp_rtol")),
+            maxit=int(solver.get("ksp_max_it")))
+
+    def solver_function(u0, rhs) -> Tuple[jnp.ndarray, int]:
+        x, it, rel, dt = sh.solve_timed(reps=3)
+        problem_rowshard._last_solve_s = dt
+        return jnp.asarray(x), it
+
+    return common.Problem(b=jnp.asarray(b_np.astype(np.dtype(dtype))),
+                          u=jnp.zeros(space.ndofs, dtype=dtype),
+                          solver_function=solver_function,
+                          space=space, bc=bc)
+
+
 def problem(mesh, order: int, cfg: Config, problem_name: str,
             num_shards: int) -> common.Problem:
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
