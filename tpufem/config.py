@@ -50,6 +50,9 @@ class SolverOptions:
     amg_max_levels: int = 12
     amg_smoother: str = "chebyshev"      # README.md:78 -mg_levels_ksp_type chebyshev
     amg_smoother_degree: int = 2
+    amg_dense_level_limit: int = 16384   # levels at/below this size run
+    # dense MXU matvecs (random ELL gathers measured ~7 cycles/element on
+    # v5e; a 15k dense f32 matmul is ~6x faster than the K=60 ELL SpMV)
     amg_jacobi_omega: float = 0.6667
     amg_prolongator_damping: float = 1.3333  # omega/rho(D^-1 A) Jacobi smoothing of P
     # extras (audited if unused)

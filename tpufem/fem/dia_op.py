@@ -349,9 +349,9 @@ class DiaOperator:
                     and self._fusable()):
                 # single-kind scalar (P1): z-zone fused apply — measured
                 # 3.7x the 3-D table apply on v5e.  bs=3 and multi-kind
-                # layouts measured FASTER with the table apply (bs^2 and
-                # per-kind term fanout blow up both compile time and the
-                # slab-op count), so they stay on it.
+                # layouts measured FASTER with the table apply (trailing
+                # [bs, bs] contractions and per-kind term fanout both
+                # lay out badly on the 8x128 VPU), so they stay on it.
                 return self._apply_const_fused(x)
             if len(self.layout.kinds) > 1:
                 return self._apply_table_multi(x)

@@ -247,8 +247,28 @@ def smooth_prolongator(A: sp.csr_matrix, P0: sp.csr_matrix,
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class DenseMat:
+    """Dense operator for SMALL coarse levels: one MXU matmul replaces a
+    gather-bound ELL SpMV (random gathers measured ~7 cycles/element on
+    v5e — a 15k-row K=60 ELL matvec costs ~7 ms vs ~1 ms dense)."""
+
+    M: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.M,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.matmul(self.M, x, precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class _Level:
-    A: ELLMatrix
+    A: ELLMatrix                # or DenseMat (small levels)
     P: Optional[ELLMatrix]      # fine <- coarse
     PT: Optional[ELLMatrix]     # coarse <- fine
     dinv: jnp.ndarray
@@ -299,6 +319,7 @@ class SAAMG:
         max_levels = int(options.get("amg_max_levels"))
         damping = float(options.get("amg_prolongator_damping"))
         degree = int(options.get("amg_smoother_degree"))
+        dense_limit = int(options.get("amg_dense_level_limit", 16384))
 
         if near_nullspace is None:
             B = np.ones((n, 1))
@@ -335,8 +356,12 @@ class SAAMG:
                 Ac = Ac.tocsr()
 
             PT = P.T.tocsr()
+            A_dev = (DenseMat(jnp.asarray(Al.toarray(), dtype=dtype))
+                     if Al.shape[0] <= dense_limit
+                     else csr_to_ell(Al.indptr, Al.indices, Al.data,
+                                     dtype=dtype))
             levels.append(_Level(
-                A=csr_to_ell(Al.indptr, Al.indices, Al.data, dtype=dtype),
+                A=A_dev,
                 P=csr_to_ell(P.indptr, P.indices, P.data, dtype=dtype),
                 PT=csr_to_ell(PT.indptr, PT.indices, PT.data, dtype=dtype),
                 dinv=jnp.asarray(dinv, dtype=dtype),
@@ -357,16 +382,25 @@ class SAAMG:
                    smoother_degree=degree, level_sizes=sizes)
 
     # -- device V-cycle -------------------------------------------------------
-    def vcycle(self, r: jnp.ndarray, i: int = 0) -> jnp.ndarray:
-        """One V(1,1) cycle; traceable (self may be a jit argument)."""
+    def vcycle(self, r: jnp.ndarray, i: int = 0,
+               fine_matvec: Optional[Callable] = None) -> jnp.ndarray:
+        """One V(1,1) cycle; traceable (self may be a jit argument).
+
+        ``fine_matvec`` optionally replaces the finest level's ELL SpMV
+        with a caller-supplied operator action (e.g. the constant-stencil
+        DiaOperator on the cube path — numerically the same matrix, but
+        gather-free; the matrix-free-fine / assembled-coarse split
+        standard AMG frameworks offer)."""
         if i == len(self.levels):
             return jnp.matmul(self.coarse_inv, r,
                               precision=jax.lax.Precision.HIGHEST)
         lv = self.levels[i]
-        smooth = chebyshev_smoother(lv.A.matvec, lv.dinv, lv.lmax,
+        mv = fine_matvec if (i == 0 and fine_matvec is not None) \
+            else lv.A.matvec
+        smooth = chebyshev_smoother(mv, lv.dinv, lv.lmax,
                                     degree=self.smoother_degree)
         x = smooth(jnp.zeros_like(r), r)
-        rr = r - lv.A.matvec(x)
+        rr = r - mv(x)
         rc = lv.PT.matvec(rr)
         xc = self.vcycle(rc, i + 1)
         x = x + lv.P.matvec(xc)

@@ -179,7 +179,7 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                                    dtype=dtype,
                                    coarse_limit=int(solver.get("amg_coarse_eq_limit")),
                                    smoother_degree=int(solver.get("amg_smoother_degree")))
-                    precond_of = lambda pc: pc.vcycle
+                    precond_of = lambda A_, pc_: pc_.vcycle
                 except ValueError:
                     # lattice dims not 2^L-divisible: geometric coarsening
                     # impossible -> fall back to algebraic multigrid
@@ -194,21 +194,29 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                                                 dtype=np.float64)
                 pc = SAAMG.setup(csr_, bs=bc.bs, options=solver, dtype=dtype,
                                  near_nullspace=nns, bc_mask=bc.mask())
-                precond_of = lambda pc: pc.vcycle
+                if structured:
+                    # the constant-stencil apply IS the assembled matrix
+                    # on this mesh: use it as the (gather-free) fine-level
+                    # operator inside the V-cycle
+                    precond_of = lambda A_, pc_: (
+                        lambda r: pc_.vcycle(r, fine_matvec=matvec_of(A_)))
+                else:
+                    precond_of = lambda A_, pc_: pc_.vcycle
             elif pc_type == "jacobi":
                 if structured:
                     pc = jnp.asarray((1.0 / A.diagonal_np()).astype(np.dtype(dtype)))
                 else:
                     pc = 1.0 / A.diagonal()
-                precond_of = lambda dinv: (lambda r: dinv * r)
+                precond_of = lambda A_, dinv: (lambda r: dinv * r)
             elif pc_type != "gmg":
                 pc = None
-                precond_of = lambda _: None
+                precond_of = lambda A_, _pc: None
 
             @jax.jit
             def run(A, pc, x0, rhs):
                 return cg_solve(matvec_of(A), rhs, x0=x0,
-                                precond=precond_of(pc), rtol=rtol, maxit=maxit)
+                                precond=precond_of(A, pc),
+                                rtol=rtol, maxit=maxit)
 
             cache["run"], cache["pc"] = run, pc
         x, it, rel = cache["run"](A, cache["pc"], u0, rhs)
