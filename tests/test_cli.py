@@ -56,6 +56,24 @@ def test_elasticity_weak():
     assert np.isfinite(norm) and norm > 1e-6
 
 
+def test_elasticity_order3():
+    """Elasticity order-3 CI analogue (ccpp.yml:162-176), reduced size."""
+    it, norm = run_cli(["--problem_type", "elasticity", "--ndofs", "3000",
+                        "--order", "3", "--scaling_type", "strong",
+                        "--num_shards", "1", "--dtype", "float64"])
+    assert 0 < it < 100
+    assert np.isfinite(norm) and norm > 0
+
+
+def test_elasticity_strong():
+    """Elasticity strong-scaling CI analogue (ccpp.yml:177-197)."""
+    it, norm = run_cli(["--problem_type", "elasticity", "--ndofs", "9000",
+                        "--scaling_type", "strong", "--num_shards", "1",
+                        "--dtype", "float64"])
+    assert 0 < it < 80
+    assert np.isfinite(norm) and norm > 0
+
+
 def test_cgpoisson_runs():
     """cgpoisson (not in the reference CI; kmax=100 rtol=1e-6 defaults,
     cgpoisson_problem.cpp:233)."""
@@ -147,6 +165,19 @@ def test_sharded_unstructured_rowshard():
                         "--num_shards", "2", "--dtype", "float64",
                         "-ksp_max_it", "40"])
     assert 0 < it <= 40 and np.isfinite(norm)
+
+
+def test_weak_scaling_iterations_flat():
+    """Weak scaling (the reference's primary mode, mesh.cpp:86-90):
+    growing the mesh with the shard count must keep CG+GMG iteration
+    counts essentially constant (mesh-independent multigrid +
+    shard-count-independent arithmetic)."""
+    args = ["--problem_type", "poisson", "--ndofs", "15000",
+            "--scaling_type", "weak", "--dtype", "float64",
+            "-ksp_rtol", "1e-8"]
+    it1, _ = run_cli(args + ["--num_shards", "1"])
+    it8, _ = run_cli(args + ["--num_shards", "8"])
+    assert abs(it8 - it1) <= 2
 
 
 def test_negative_option_value():
