@@ -47,12 +47,24 @@ GOLDEN = [
     (["--problem_type", "cgpoisson", "--ndofs", "15000",
       "--num_shards", "1", "--dtype", "float64"],
      100, 26.535020300527723),
+    # sharded paths (virtual 8-device mesh): slab GMG strong scaling
+    # (the mpirun -np N analogue) and the rowshard elasticity path
+    (["--problem_type", "poisson", "--ndofs", "100000",
+      "--scaling_type", "strong", "--num_shards", "8",
+      "--dtype", "float64", "-ksp_rtol", "1e-8"],
+     11, 68.43884037046897),
+    (["--problem_type", "elasticity", "--ndofs", "10000",
+      "--scaling_type", "weak", "--num_shards", "4",
+      "--dtype", "float64"],
+     20, 4.3635484081745004e-05),
 ]
 
 
 @pytest.mark.parametrize("argv,gold_it,gold_norm", GOLDEN,
                          ids=["poisson15k", "poisson50k", "order3",
-                              "elasticity100k", "cgpoisson15k"])
+                              "elasticity100k", "cgpoisson15k",
+                              "poisson100k-8shard",
+                              "elasticity10k-4shard"])
 def test_golden(argv, gold_it, gold_norm):
     it, norm = run_cli(argv)
     assert it == gold_it
