@@ -394,13 +394,14 @@ class DiaOperator:
         return self._clamp_axes(0)
 
     def _apply_table(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Fused apply for const-mode (P1) operators: ONE zero-padded
-        input grid; per diagonal the full weight field is reconstructed
-        on the fly from the tiny surrogate table by three clamp-indexed
-        takes, which XLA fuses into the single elementwise output pass —
-        ~(1 read + 1 write) of HBM per apply, no weight traffic, no
-        dynamic-update-slice chains (measured 13+ Gdof/s at 2M dofs on
-        one v5e vs 0.65 for dense per-diagonal weights)."""
+        """3-D table apply for single-kind const operators: ONE
+        zero-padded input grid; per diagonal the full weight field is
+        reconstructed on the fly from the tiny surrogate table by three
+        clamp-indexed takes — no stored per-diagonal weight grids.
+        Measured 0.67 ms at 2.1M P1 dofs on v5e (5x the dense
+        per-diagonal form); the take gathers cap it ~4x short of the
+        z-zone fused apply, which is why scalar P1 routes there and this
+        path serves bs=3 and sub-threshold lattices."""
         lay = self.layout
         bs = self.bs
         Z, Y, X = lay.Nz + 1, lay.Ny + 1, lay.Nx + 1
