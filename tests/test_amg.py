@@ -92,3 +92,40 @@ def test_amg_cg_fast_convergence(n, maxiter):
     assert int(it) < maxiter
     r = np.asarray(b) - A @ np.asarray(x)
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-7
+
+
+def test_dense_level_matches_ell():
+    """Dense small-level matvecs (amg_dense_level_limit) change nothing
+    numerically: identical V-cycle output and CG iterations vs the
+    all-ELL hierarchy."""
+    A = laplace_3d(12)
+    n = A.shape[0]
+    csr = (A.indptr, A.indices, A.data)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    ell = SAAMG.setup(csr, bs=1,
+                      options=SolverOptions(amg_dense_level_limit=0),
+                      dtype=jnp.float64)
+    dense = SAAMG.setup(csr, bs=1,
+                        options=SolverOptions(amg_dense_level_limit=10**6),
+                        dtype=jnp.float64)
+    from tpufem.la.amg import DenseMat
+    assert any(isinstance(lv.A, DenseMat) for lv in dense.levels)
+    assert not any(isinstance(lv.A, DenseMat) for lv in ell.levels)
+    ve = np.asarray(ell.vcycle(b))
+    vd = np.asarray(dense.vcycle(b))
+    assert np.abs(ve - vd).max() < 1e-11 * np.abs(ve).max()
+
+
+def test_fine_matvec_hook_matches_ell():
+    """vcycle(fine_matvec=...) with an operator equal to the level-0
+    matrix reproduces the built-in ELL path exactly (the cube path
+    passes the constant-stencil apply here)."""
+    A = laplace_3d(12)
+    csr = (A.indptr, A.indices, A.data)
+    amg = SAAMG.setup(csr, bs=1, options=SolverOptions(),
+                      dtype=jnp.float64)
+    assert amg.levels
+    b = jnp.asarray(np.random.default_rng(1).standard_normal(A.shape[0]))
+    v0 = np.asarray(amg.vcycle(b))
+    v1 = np.asarray(amg.vcycle(b, fine_matvec=amg.levels[0].A.matvec))
+    assert np.array_equal(v0, v1)
