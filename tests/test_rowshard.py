@@ -146,3 +146,29 @@ def test_sfc_partition_balance():
     shard = partition_cells_sfc(pts, 8)
     counts = np.bincount(shard, minlength=8)
     assert counts.min() >= 124 and counts.max() <= 126
+
+
+def test_rowshard_unpreconditioned_matches_matrixfree():
+    """precond=False (the sharded cgpoisson path): on the BC-zero
+    subspace the eliminated operator's CG trajectory equals the
+    single-device rows-zero matrix-free action's."""
+    from tpufem.fem.dia_op import build_operator
+    mesh = BoxTetMesh(8, 9, 10)
+    space = FunctionSpace(mesh, 2)
+    bc = DirichletBC.from_space(
+        space, mesh.locate_boundary_facets(common.poisson_bc_marker))
+    _, csr = assemble_operator(space, bc, "poisson", dtype=np.float64)
+    from tpufem.problems.poisson import assemble_poisson_rhs_np
+    b = assemble_poisson_rhs_np(space)
+    b[bc.flat_dofs()] = 0.0
+    op = build_operator(mesh, 2, "poisson", bc_dofs=bc.flat_dofs(),
+                        dtype=jnp.float64, bake_bc=False)
+    x1, it1, _ = cg_solve(op.apply_bc_rows_zero, jnp.asarray(b),
+                          rtol=1e-6, maxit=100)
+    sh = ShardedEllSolver.build(space, bc, csr, b, 8, SolverOptions(),
+                                dtype=jnp.float64, rtol=1e-6, maxit=100,
+                                precond=False)
+    xs, its, _rel = sh.solve()
+    assert abs(its - int(it1)) <= 1
+    err = np.abs(xs - np.asarray(x1)).max() / np.abs(np.asarray(x1)).max()
+    assert err < 1e-8

@@ -107,17 +107,12 @@ def solve(cfg: Config) -> Tuple[int, float]:
     num_shards = cfg.num_shards or len(jax.devices())
 
     # multi-shard execution: slab-sharded SPMD on the P1 cube path
-    # (tpufem.parallel.slab); unstructured meshes and higher orders use
-    # the row-sharded assembled path (tpufem.parallel.rowshard)
+    # (tpufem.parallel.slab); everything else uses the row-sharded
+    # assembled path (tpufem.parallel.rowshard) — every CLI
+    # configuration executes distributed under --num_shards
     use_sharded = (num_shards > 1 and cfg.mesh_type == "cube"
                    and cfg.order == 1)
-    use_rowshard = (num_shards > 1 and not use_sharded
-                    and cfg.problem_type in ("poisson", "elasticity"))
-    if num_shards > 1 and not (use_sharded or use_rowshard):
-        logger.warning(
-            "num_shards=%d requested, but cgpoisson is sharded only on "
-            "the order-1 cube path — running single-device", num_shards)
-        num_shards = 1
+    use_rowshard = num_shards > 1 and not use_sharded
     if (use_sharded or use_rowshard) and len(jax.devices()) < num_shards:
         raise SystemExit(
             f"num_shards={num_shards} but only {len(jax.devices())} "

@@ -87,7 +87,12 @@ class ShardedEllSolver:
               options, dtype=jnp.float32,
               near_nullspace: Optional[np.ndarray] = None,
               rtol: float = 1e-8, maxit: int = 100,
+              precond: bool = True,
               devices=None) -> "ShardedEllSolver":
+        """``precond=False`` runs plain distributed CG (the cgpoisson
+        convention: on the BC-zero subspace the eliminated unit-diagonal
+        operator produces the identical Krylov trajectory as the
+        rows-zero matrix-free action, so no AMG hierarchy is built)."""
         from tpufem.la.amg import SAAMG
 
         indptr, indices, data = csr_tuple
@@ -123,13 +128,19 @@ class ShardedEllSolver:
 
         # SA-AMG hierarchy on the global matrix (host setup — the
         # partitioner-analogue phase); level 0 re-sharded below
-        amg = SAAMG.setup(csr_tuple, bs=bs, options=options, dtype=dtype,
-                          near_nullspace=near_nullspace, bc_mask=bc.mask())
-        has_fine = len(amg.levels) > 0
         repl = {}
         suffix = None
         lmax0 = 1.0
         dinv_loc = np.zeros((S, gmap.nlocal), dtype=npdtype)
+        degree = 2
+        if not precond:
+            has_fine = False
+        else:
+            amg = SAAMG.setup(csr_tuple, bs=bs, options=options,
+                              dtype=dtype, near_nullspace=near_nullspace,
+                              bc_mask=bc.mask())
+            degree = amg.smoother_degree
+            has_fine = len(amg.levels) > 0
         if has_fine:
             lv0 = amg.levels[0]
             lmax0 = lv0.lmax
@@ -161,7 +172,7 @@ class ShardedEllSolver:
             suffix = _S(levels=amg.levels[1:], coarse_inv=amg.coarse_inv,
                         smoother_degree=amg.smoother_degree,
                         level_sizes=amg.level_sizes[1:])
-        else:
+        elif precond:
             suffix = amg  # levels empty -> vcycle = dense coarse solve
 
         data_d = dict(
@@ -189,7 +200,7 @@ class ShardedEllSolver:
         mesh_axis = Mesh(np.array(devices[:S]), ("shard",))
         return cls(gmap=gmap, data=data_d, repl=repl, suffix=suffix,
                    ndofs=N, S=S, mesh_axis=mesh_axis, rtol=rtol,
-                   maxit=maxit, smoother_degree=amg.smoother_degree,
+                   maxit=maxit, smoother_degree=degree,
                    lmax0=lmax0, has_fine_level=has_fine)
 
     # -- jitted SPMD program -------------------------------------------------
@@ -253,7 +264,8 @@ class ShardedEllSolver:
                                           u.astype(t) * v.astype(t), 0.0))
                 return jax.lax.psum(local, "shard")
 
-            x, it, rel = cg_solve(spmv, d["b"], precond=precond,
+            M = precond if suffix is not None else None
+            x, it, rel = cg_solve(spmv, d["b"], precond=M,
                                   rtol=rtol, maxit=maxit, dot_fn=dot)
             return x[None], it, rel
 

@@ -53,13 +53,20 @@ def problem_rowshard(mesh, order: int, cfg: Config, problem_name: str,
     """Row-sharded assembled path (unstructured meshes; cube order >= 2):
     distributed CG + SA-AMG with sharded fine level
     (tpufem.parallel.rowshard).  Reference: the spoke-mesh CI jobs run
-    assembled Poisson + AMG on 2 ranks (ccpp.yml:102-117)."""
+    assembled Poisson + AMG on 2 ranks (ccpp.yml:102-117).
+
+    ``cgpoisson`` runs the same row-sharded operator UNPRECONDITIONED to
+    cg_rtol/cg_kmax with the Gdof/s metric: on the BC-zero subspace the
+    eliminated operator's Krylov trajectory equals the rows-zero
+    matrix-free action's (cgpoisson_problem.cpp:193-243)."""
     import numpy as np
 
     from tpufem.fem.assemble import assemble_operator
     from tpufem.parallel.rowshard import ShardedEllSolver
 
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    matfree = problem_name == "cgpoisson"
+    base = "poisson" if matfree else problem_name
     bs = 3 if problem_name == "elasticity" else 1
     marker = (common.elasticity_bc_marker if problem_name == "elasticity"
               else common.poisson_bc_marker)
@@ -74,8 +81,7 @@ def problem_rowshard(mesh, order: int, cfg: Config, problem_name: str,
         bc = DirichletBC.from_space(space, facets)
 
     with Timer("ZZZ Assemble matrix"):
-        _A, csr = assemble_operator(space, bc, problem_name,
-                                    dtype=np.float64)
+        _A, csr = assemble_operator(space, bc, base, dtype=np.float64)
 
     with Timer("ZZZ Assemble vector"):
         if problem_name == "elasticity":
@@ -85,7 +91,7 @@ def problem_rowshard(mesh, order: int, cfg: Config, problem_name: str,
         else:
             from tpufem.problems.poisson import assemble_poisson_rhs_np
             b_np = assemble_poisson_rhs_np(space)
-        b_np[bc.flat_dofs()] = bc.value
+        b_np[bc.flat_dofs()] = 0.0 if matfree else bc.value
 
     nns = None
     if problem_name == "elasticity":
@@ -93,14 +99,27 @@ def problem_rowshard(mesh, order: int, cfg: Config, problem_name: str,
         with Timer("ZZZ Create near-nullspace"):
             nns = build_near_nullspace(space.scalar_dof_coords())
 
+    if matfree:
+        rtol = float(solver.extra.get("cg_rtol", 1e-6))
+        maxit = int(solver.extra.get("cg_kmax", 100))
+        solver._consumed.update(("cg_rtol", "cg_kmax"))
+    else:
+        rtol = float(solver.get("ksp_rtol"))
+        maxit = int(solver.get("ksp_max_it"))
+
     with Timer("ZZZ Solver setup"):
         sh = ShardedEllSolver.build(
             space, bc, csr, b_np, num_shards, solver, dtype=dtype,
-            near_nullspace=nns, rtol=float(solver.get("ksp_rtol")),
-            maxit=int(solver.get("ksp_max_it")))
+            near_nullspace=nns, rtol=rtol, maxit=maxit,
+            precond=not matfree)
 
     def solver_function(u0, rhs) -> Tuple[jnp.ndarray, int]:
         x, it, rel, dt = sh.solve_timed(reps=3)
+        if matfree:
+            gdofs = it * space.ndofs / dt / 1e9
+            print(f"CG matrix-free action processed: {gdofs} Gdof/s",
+                  flush=True)
+            problem_rowshard._last_gdofs = gdofs
         problem_rowshard._last_solve_s = dt
         return jnp.asarray(x), it
 
