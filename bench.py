@@ -104,7 +104,7 @@ def main() -> None:
     for _pass in range(2):  # two passes; the tunnel occasionally stalls
         t0 = time.perf_counter()
         outs = [prob.solver_function.solve_async(
-            prob.u, prob.b * (1.0 + 1e-6 * i))[0] for i in range(REPS)]
+            prob.u, prob.b * (1.0 + 1e-6 * (i + 1)))[0] for i in range(REPS)]
         jax.block_until_ready(outs)
         solve_amortized_s = min(solve_amortized_s,
                                 (time.perf_counter() - t0) / REPS)
@@ -184,7 +184,7 @@ def main() -> None:
     for _pass in range(2):  # two passes; the tunnel occasionally stalls
         t0 = time.perf_counter()
         outs = [prob4.solver_function.solve_async(
-            prob4.u, prob4.b * (1.0 + 1e-6 * i))[0] for i in range(REPS)]
+            prob4.u, prob4.b * (1.0 + 1e-6 * (i + 1)))[0] for i in range(REPS)]
         jax.block_until_ready(outs)
         solve4_s = min(solve4_s, (time.perf_counter() - t0) / REPS)
     log(f"elasticity P1 500k: assemble {assemble4_s:.2f}s, first solve "
@@ -221,7 +221,7 @@ def main() -> None:
     for _pass in range(2):
         t0 = time.perf_counter()
         outs = [prob5.solver_function.solve_async(
-            prob5.u, prob5.b * (1.0 + 1e-6 * i))[0] for i in range(REPS)]
+            prob5.u, prob5.b * (1.0 + 1e-6 * (i + 1)))[0] for i in range(REPS)]
         jax.block_until_ready(outs)
         solve5_s = min(solve5_s, (time.perf_counter() - t0) / REPS)
     log(f"SA-AMG 226k: assemble {assemble5_s:.2f}s, setup+compile "

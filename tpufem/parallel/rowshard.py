@@ -277,10 +277,13 @@ class ShardedEllSolver:
         )
         return jax.jit(fn)
 
-    def _run(self):
+    def _run(self, scale: float = 1.0):
         if "run" not in self._cache:
             self._cache["run"] = self._build_program()
-        return self._cache["run"](self.data, self.repl, self.suffix)
+        data = self.data
+        if scale != 1.0:  # perturb so pipelined timing reps can't dedup
+            data = dict(data, b=data["b"] * scale)
+        return self._cache["run"](data, self.repl, self.suffix)
 
     def solve(self) -> Tuple[np.ndarray, int, float]:
         x_loc, it, rel = self._run()
@@ -291,7 +294,7 @@ class ShardedEllSolver:
     def solve_timed(self, reps: int = 3) -> Tuple[np.ndarray, int, float, float]:
         jax.block_until_ready(self._run()[0])
         t0 = time.perf_counter()
-        outs = [self._run()[0] for _ in range(reps)]
+        outs = [self._run(1.0 + 1e-6 * (i + 1))[0] for i in range(reps)]
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / reps
         x, it, rel = self.solve()

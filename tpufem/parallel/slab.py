@@ -371,7 +371,7 @@ class ShardedCubeSolver:
         over ``reps`` perturbed solves (TPU-tunnel latency)."""
         jax.block_until_ready(self._run(self.b_local)[0])
         t0 = time.perf_counter()
-        outs = [self._run(self.b_local * (1.0 + 1e-6 * i))[0]
+        outs = [self._run(self.b_local * (1.0 + 1e-6 * (i + 1)))[0]
                 for i in range(reps)]
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / reps

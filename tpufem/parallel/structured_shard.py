@@ -189,7 +189,7 @@ class ShardedStructuredPoisson:
         jax.block_until_ready(run(*args, self.b_local)[0])
         reps = 3
         t0 = time.perf_counter()
-        outs = [run(*args, self.b_local * (1.0 + 1e-6 * i))[0]
+        outs = [run(*args, self.b_local * (1.0 + 1e-6 * (i + 1)))[0]
                 for i in range(reps)]
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / reps

@@ -154,7 +154,7 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         # latency (~25-30 ms through the TPU tunnel) amortizes out
         reps = 10
         t0 = time.perf_counter()
-        outs = [run(op, u0, rhs * (1.0 + 1e-6 * i)) for i in range(reps)]
+        outs = [run(op, u0, rhs * (1.0 + 1e-6 * (i + 1))) for i in range(reps)]
         jax.block_until_ready([o[0] for o in outs])
         dt = (time.perf_counter() - t0) / reps
         x, it, rel = outs[0]
