@@ -134,3 +134,26 @@ def test_device_rhs_matches_host(problem_name, order):
     bh[bc.flat_dofs()] = bc.value
     rel = np.abs(np.asarray(bd) - bh).max() / np.abs(bh).max()
     assert rel < 1e-6
+
+
+def test_structured_dev_rhs_matches_host():
+    """The fused device RHS (on-device f evaluation + sparse facet
+    term) equals the host f64 assembly to f32 rounding, P1 and P2."""
+    import jax.numpy as jnp
+    from tpufem.fem.dirichlet import DirichletBC
+    from tpufem.fem.space import FunctionSpace
+    from tpufem.mesh import BoxTetMesh
+    from tpufem.problems.common import poisson_bc_marker
+    from tpufem.problems.poisson import (assemble_poisson_rhs_np,
+                                         assemble_poisson_rhs_structured_dev)
+    for order in (1, 2):
+        mesh = BoxTetMesh(8, 9, 10)
+        space = FunctionSpace(mesh, order)
+        bc = DirichletBC.from_space(
+            space, mesh.locate_boundary_facets(poisson_bc_marker))
+        b_ref = assemble_poisson_rhs_np(space)
+        b_ref[bc.flat_dofs()] = bc.value
+        b_dev = np.asarray(
+            assemble_poisson_rhs_structured_dev(space, bc, jnp.float32))
+        s = np.abs(b_ref).max()
+        assert np.abs(b_dev - b_ref).max() < 5e-6 * s

@@ -148,8 +148,10 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
     def solver_function(u0: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
         # warm-up compile outside the timed region (the reference's C++
         # kernels are AOT-compiled; timing XLA compilation would not be
-        # an apples-to-apples solve time)
-        jax.block_until_ready(run(op, u0, rhs))
+        # an apples-to-apples solve time); this is also the RETURNED
+        # solve — the timing reps below use perturbed RHS
+        out0 = run(op, u0, rhs)
+        jax.block_until_ready(out0)
         # pipeline several perturbed solves so per-dispatch transport
         # latency (~25-30 ms through the TPU tunnel) amortizes out
         reps = 10
@@ -157,7 +159,7 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         outs = [run(op, u0, rhs * (1.0 + 1e-6 * (i + 1))) for i in range(reps)]
         jax.block_until_ready([o[0] for o in outs])
         dt = (time.perf_counter() - t0) / reps
-        x, it, rel = outs[0]
+        x, it, rel = out0
         gdofs = int(it) * space.ndofs / dt / 1e9
         print(f"CG matrix-free action processed: {gdofs} Gdof/s", flush=True)
         problem._last_gdofs = gdofs

@@ -78,32 +78,50 @@ def _facet_rhs_structured_np(space: FunctionSpace) -> np.ndarray:
 
 def assemble_poisson_rhs_structured_dev(space: FunctionSpace, bc, dtype):
     """Device-side production RHS on BoxTetMesh: the volume term is ONE
-    jitted mass-operator apply (constant-stencil — no gathers), the
-    O(surface) facet term and the closed-form f interpolation stay on the
-    host.  Replaces the O(N) host mass apply that dominated setup time
-    (reference assembles b once per run, poisson_problem.cpp:118-131)."""
+    jitted mass-operator apply (constant-stencil — no gathers).  On the
+    P1 path the closed-form f is evaluated ON DEVICE from iota coords
+    (it only varies in (x, y) — a 2-D field broadcast along z) and the
+    O(surface) host facet term ships as a sparse (idx, val) pair, so
+    the whole assembly is one small-argument dispatch.  Replaces the
+    O(N) host mass apply that dominated setup time (reference assembles
+    b once per run, poisson_problem.cpp:118-131)."""
     mesh = space.mesh
-    f = space.interpolate(common.poisson_f)
+    nd = np.dtype(dtype)
     b_facet = _facet_rhs_structured_np(space)
+    bc_idx = jnp.asarray(bc.flat_dofs().astype(np.int32))
+    bc_val = jnp.asarray(nd.type(bc.value))
+
     if space.order == 1:
         from tpufem.fem.dia_op import DiaOperator
         mass = DiaOperator.build(mesh, 1, "mass", dtype=dtype)
-        apply_of = lambda m, v: m.apply(v)
-    else:
-        from tpufem.fem.structured_op import StructuredOperator
-        mass = StructuredOperator.build(mesh, space.order, "mass",
-                                        dtype=dtype)
-        apply_of = lambda m, v: m.apply_raw(v)
+        Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
+        fnz = np.flatnonzero(b_facet != 0.0)
+
+        @jax.jit
+        def rhs1(mass, fidx, fvals, idx, val):
+            x = jnp.arange(Nx + 1, dtype=dtype) / Nx - 0.5
+            y = jnp.arange(Ny + 1, dtype=dtype) / Ny - 0.5
+            f2d = 10.0 * jnp.exp(-(x[None, :] ** 2 + y[:, None] ** 2)
+                                 / 0.02)  # poisson_f, common.py:41
+            fd = jnp.broadcast_to(
+                f2d, (Nz + 1, Ny + 1, Nx + 1)).reshape(-1)
+            b = mass.apply(fd)
+            b = b.at[fidx].add(fvals)
+            return b.at[idx].set(val)
+
+        return rhs1(mass, jnp.asarray(fnz.astype(np.int32)),
+                    jnp.asarray(b_facet[fnz].astype(nd)), bc_idx, bc_val)
+
+    from tpufem.fem.structured_op import StructuredOperator
+    mass = StructuredOperator.build(mesh, space.order, "mass", dtype=dtype)
+    f = space.interpolate(common.poisson_f)
 
     @jax.jit
     def rhs(mass, fd, bf, idx, val):
-        return (apply_of(mass, fd) + bf).at[idx].set(val)
+        return (mass.apply_raw(fd) + bf).at[idx].set(val)
 
-    nd = np.dtype(dtype)
     return rhs(mass, jnp.asarray(f.astype(nd)),
-               jnp.asarray(b_facet.astype(nd)),
-               jnp.asarray(bc.flat_dofs().astype(np.int32)),
-               jnp.asarray(nd.type(bc.value)))
+               jnp.asarray(b_facet.astype(nd)), bc_idx, bc_val)
 
 
 def _facet_rhs_np(el, g: np.ndarray, cd_cells: np.ndarray,
