@@ -172,3 +172,44 @@ def test_rowshard_unpreconditioned_matches_matrixfree():
     assert abs(its - int(it1)) <= 1
     err = np.abs(xs - np.asarray(x1)).max() / np.abs(np.asarray(x1)).max()
     assert err < 1e-8
+
+
+def test_general_maps_multi_round_schedule():
+    """A complete ghost graph (every shard ghosts from every other)
+    forces a multi-round edge coloring; fwd must still restore every
+    ghost from its owner."""
+    S = 4
+    # dof g owned by shard g % S; every shard references ALL dofs
+    N = 16
+    owner_of = np.arange(N) % S
+    local_sets = [np.arange(N) for _ in range(S)]
+    gm = build_general_maps(local_sets, owner_of)
+    assert len(gm.rounds) >= 2  # S-1 = 3 rounds for the complete graph
+
+    xg = np.random.default_rng(5).standard_normal(N)
+    xl = gm.distribute(xg)
+    for s in range(S):
+        ng = int(gm.ghost_counts[s])
+        xl[s, gm.max_owned: gm.max_owned + ng] = -1.0  # corrupt ghosts
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    mesh_axis = Mesh(np.array(jax.devices()[:S]), ("shard",))
+    data = dict(send_idx=jnp.asarray(gm.send_idx),
+                send_mask=jnp.asarray(gm.send_mask),
+                recv_idx=jnp.asarray(gm.recv_idx),
+                recv_mask=jnp.asarray(gm.recv_mask))
+
+    def fn(d, y):
+        d = {k: v[0] for k, v in d.items()}
+        return gm.fwd(y[0], d["send_idx"], d["send_mask"], d["recv_idx"],
+                      d["recv_mask"])[None]
+
+    run = jax.jit(jax.shard_map(
+        fn, mesh=mesh_axis,
+        in_specs=({k: P("shard") for k in data}, P("shard")),
+        out_specs=P("shard")))
+    z = np.asarray(run(data, jnp.asarray(xl)))
+    for s in range(S):
+        ng = int(gm.ghost_counts[s])
+        sl = slice(gm.max_owned, gm.max_owned + ng)
+        assert np.allclose(z[s, sl], xg[gm.local_gids[s, sl]])
