@@ -157,3 +157,26 @@ def test_structured_dev_rhs_matches_host():
             assemble_poisson_rhs_structured_dev(space, bc, jnp.float32))
         s = np.abs(b_ref).max()
         assert np.abs(b_dev - b_ref).max() < 5e-6 * s
+
+
+def test_structured_dev_elasticity_rhs_matches_host():
+    """The fused device elasticity RHS (on-device body force) equals the
+    host f64 assembly to f32 rounding, P1 and P2."""
+    import jax.numpy as jnp
+    from tpufem.fem.dirichlet import DirichletBC
+    from tpufem.fem.space import FunctionSpace
+    from tpufem.mesh import BoxTetMesh
+    from tpufem.problems.common import elasticity_bc_marker
+    from tpufem.problems.elasticity import (
+        assemble_elasticity_rhs_np, assemble_elasticity_rhs_structured_dev)
+    for order in (1, 2):
+        mesh = BoxTetMesh(8, 9, 10)
+        space = FunctionSpace(mesh, order, bs=3)
+        bc = DirichletBC.from_space(
+            space, mesh.locate_boundary_facets(elasticity_bc_marker))
+        b_ref = assemble_elasticity_rhs_np(space)
+        b_ref[bc.flat_dofs()] = bc.value
+        b_dev = np.asarray(
+            assemble_elasticity_rhs_structured_dev(space, bc, jnp.float32))
+        s = np.abs(b_ref).max()
+        assert np.abs(b_dev - b_ref).max() < 5e-6 * s

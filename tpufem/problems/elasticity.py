@@ -43,30 +43,51 @@ def assemble_elasticity_rhs(space: FunctionSpace, scatter: DofScatter,
 def assemble_elasticity_rhs_structured_dev(space: FunctionSpace, bc,
                                            dtype) -> jnp.ndarray:
     """Device-side production RHS on BoxTetMesh: three jitted scalar
-    mass-stencil applies (one per component); only the closed-form f
-    interpolation stays on the host."""
+    mass-stencil applies (one per component).  On the P1 path the
+    rotational body force is evaluated ON DEVICE from iota coords (no
+    [ndofs, 3] host transfer); higher orders interpolate on the host."""
     import jax
     mesh = space.mesh
-    f = space.interpolate(common.elasticity_f).reshape(-1, 3)
+    nd = np.dtype(dtype)
+    bc_idx = jnp.asarray(bc.flat_dofs().astype(np.int32))
+    bc_val = jnp.asarray(nd.type(bc.value))
+
     if space.order == 1:
         from tpufem.fem.dia_op import DiaOperator
         mass = DiaOperator.build(mesh, 1, "mass", dtype=dtype)
-        apply_of = lambda m, v: m.apply(v)
-    else:
-        from tpufem.fem.structured_op import StructuredOperator
-        mass = StructuredOperator.build(mesh, space.order, "mass",
-                                        dtype=dtype)
-        apply_of = lambda m, v: m.apply_raw(v)
+        Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
+
+        @jax.jit
+        def rhs1(mass, idx, val):
+            # f = (-dz*r*y, 1, dx*r*y), common.py:62
+            # (elasticity_problem.cpp:154-176); vertex coords from iota
+            x = jnp.arange(Nx + 1, dtype=dtype) / Nx
+            y = jnp.arange(Ny + 1, dtype=dtype) / Ny
+            z = jnp.arange(Nz + 1, dtype=dtype) / Nz
+            dx = (x - 0.5)[None, None, :]
+            dz = (z - 0.5)[:, None, None]
+            yy = y[None, :, None]
+            r = jnp.sqrt(dx * dx + dz * dz)
+            shape = (Nz + 1, Ny + 1, Nx + 1)
+            comps = (jnp.broadcast_to(-dz * r * yy, shape),
+                     jnp.ones(shape, dtype=dtype),
+                     jnp.broadcast_to(dx * r * yy, shape))
+            b = jnp.stack([mass.apply(c.reshape(-1)) for c in comps],
+                          axis=-1)
+            return b.reshape(-1).at[idx].set(val)
+
+        return rhs1(mass, bc_idx, bc_val)
+
+    from tpufem.fem.structured_op import StructuredOperator
+    mass = StructuredOperator.build(mesh, space.order, "mass", dtype=dtype)
+    f = space.interpolate(common.elasticity_f).reshape(-1, 3)
 
     @jax.jit
     def rhs(mass, fd, idx, val):
-        b = jnp.stack([apply_of(mass, fd[:, r]) for r in range(3)], axis=-1)
+        b = jnp.stack([mass.apply_raw(fd[:, r]) for r in range(3)], axis=-1)
         return b.reshape(-1).at[idx].set(val)
 
-    nd = np.dtype(dtype)
-    return rhs(mass, jnp.asarray(f.astype(nd)),
-               jnp.asarray(bc.flat_dofs().astype(np.int32)),
-               jnp.asarray(nd.type(bc.value)))
+    return rhs(mass, jnp.asarray(f.astype(nd)), bc_idx, bc_val)
 
 
 def assemble_elasticity_rhs_np(space: FunctionSpace) -> np.ndarray:
