@@ -121,15 +121,13 @@ def test_const_mode_higher_order(order, bake):
     s = np.abs(ref).max()
     assert np.abs(got_dev - ref).max() < 1e-12 * s
     assert np.abs(got_np - ref).max() < 1e-12 * s
-    # fused and table paths agree bit-for-bit with the host twin's values
-    tab = np.asarray(oc._apply_table_multi(jnp.asarray(x)))
-    fz = np.asarray(oc._apply_const_fused(jnp.asarray(x)))
-    assert np.abs(fz - tab).max() < 1e-12 * s
+    # const mode precomputed its zone fields (production apply path)
+    assert oc.zones is not None and len(oc.zones) == len(oc.zone_plan)
 
 
-def test_fused_zzone_matches_table_p1():
-    """The production P1 z-zone fused apply (scalar and bs=3) equals the
-    3-D table apply exactly."""
+def test_zone_apply_matches_host_twin_p1():
+    """The production P1 precomputed-zone apply (scalar and bs=3) equals
+    the host twin (full reconstructed weight fields) exactly."""
     for problem, bs in (("poisson", 1), ("elasticity", 3)):
         mesh = BoxTetMesh(9, 8, 10)
         space = FunctionSpace(mesh, 1, bs=bs)
@@ -139,10 +137,12 @@ def test_fused_zzone_matches_table_p1():
             space, mesh.locate_boundary_facets(marker))
         op = DiaOperator.build(mesh, 1, problem, bc_dofs=bc.flat_dofs(),
                                dtype=jnp.float64)
-        assert op.is_const()
+        assert op.is_const() and op.zones is not None
+        # z-zone split happened (9+ plane grids) and mid fields are thin
+        assert any(len(f) == 3 and f[1].shape[0] == 1 for f in op.zones)
         x = jnp.asarray(np.random.default_rng(3).standard_normal(space.ndofs))
-        a = np.asarray(op._apply_const_fused(x))
-        t = np.asarray(op._apply_table(x))
+        a = np.asarray(op.apply(x))
+        t = op.apply_np(np.asarray(x))
         assert np.abs(a - t).max() < 1e-13 * np.abs(t).max()
 
 

@@ -69,37 +69,3 @@ def test_sharded_matches_problem_module():
     assert np.allclose(x_sh, np.asarray(x_ref), atol=1e-8)
 
 
-def test_sharded_structured_matches_single():
-    """Slab-sharded stencil CG (the scalable flagship path) must match
-    the single-device structured cgpoisson solve."""
-    import jax.numpy as jnp
-    from tpufem.parallel.structured_shard import ShardedStructuredPoisson
-    from tpufem.config import Config, SolverOptions
-    from tpufem.problems import cgpoisson
-
-    box = BoxTetMesh(6, 6, 8)
-    sh = ShardedStructuredPoisson.build(box, 8, dtype=jnp.float64,
-                                        rtol=1e-11, kmax=1000)
-    x_sh, it, rel = sh.solve()
-    assert rel < 1e-11
-
-    cfg = Config(problem_type="cgpoisson", dtype="float64",
-                 solver=SolverOptions())
-    cfg.solver.extra.update(cg_rtol=1e-11, cg_kmax=1000)
-    prob = cgpoisson.problem(box, 1, cfg)
-    x_ref, it_ref = prob.solver_function(prob.u, prob.b)
-    assert np.allclose(x_sh, np.asarray(x_ref), atol=1e-8)
-    assert abs(it - it_ref) <= 2
-
-
-def test_sharded_structured_two_shards():
-    import jax.numpy as jnp
-    from tpufem.parallel.structured_shard import ShardedStructuredPoisson
-    box = BoxTetMesh(5, 4, 6)
-    a = ShardedStructuredPoisson.build(box, 2, dtype=jnp.float64,
-                                       rtol=1e-10, kmax=500)
-    xa, ita, _ = a.solve()
-    b = ShardedStructuredPoisson.build(box, 1, dtype=jnp.float64,
-                                       rtol=1e-10, kmax=500)
-    xb, itb, _ = b.solve()
-    assert np.allclose(xa, xb, atol=1e-8)

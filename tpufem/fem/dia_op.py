@@ -114,16 +114,48 @@ class DiaOperator:
     bs: int                # static
     surr_dims: Optional[Tuple[int, int, int]] = None  # static: surrogate
     #                        lattice cubes (const mode only)
+    zones: Optional[Tuple] = None       # const mode: per zone_plan entry a
+    #                        tuple of PRECOMPUTED weight-field arrays
+    #                        ((lo[3,Y,X], mid[1,Y,X], hi[3,Y,X]) or
+    #                        (full[Z,Y,X],)) — built on the host at setup
+    #                        so the traced apply is pure slice-mult-adds
+    #                        (tiny HLO; in-trace field reconstruction made
+    #                        the unrolled-V-cycle compile explode)
+    zone_plan: Optional[Tuple] = None   # static: (ko, so, ki, si, d, r, s)
 
     def tree_flatten(self):
-        return (tuple(self.weights), self.bc_mask), (self.plan, self.layout,
-                                                     self.bs, self.surr_dims)
+        if self.is_const():
+            # surrogate tables are host-side setup data (diagonal_np /
+            # apply_np twins); only the zone fields + bc mask are device
+            # state.  Tables travel as static bytes (precomputed once in
+            # _finalize) so dispatches never re-upload or pull them back
+            # through the TPU tunnel.
+            wmeta = getattr(self, "_wmeta", None)
+            if wmeta is None:
+                wmeta = tuple((np.asarray(w).tobytes(), np.asarray(w).shape,
+                               np.asarray(w).dtype.str) for w in self.weights)
+                self._wmeta = wmeta
+            return (self.bc_mask, self.zones), (
+                self.plan, self.layout, self.bs, self.surr_dims,
+                self.zone_plan, wmeta)
+        return (self.bc_mask, tuple(self.weights)), (
+            self.plan, self.layout, self.bs, self.surr_dims, self.zone_plan,
+            None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        weights, bc_mask = children
-        plan, layout, bs, surr_dims = aux
-        return cls(list(weights), bc_mask, plan, layout, bs, surr_dims)
+        plan, layout, bs, surr_dims, zone_plan, wmeta = aux
+        if wmeta is not None:
+            bc_mask, zones = children
+            weights = [np.frombuffer(b, dtype=np.dtype(dt)).reshape(shape)
+                       for b, shape, dt in wmeta]
+            op = cls(weights, bc_mask, plan, layout, bs, surr_dims,
+                     zones, zone_plan)
+            op._wmeta = wmeta
+            return op
+        bc_mask, weights = children
+        return cls(list(weights), bc_mask, plan, layout, bs, surr_dims,
+                   None, zone_plan)
 
     def terms(self):
         """Yield (meta, weight) walking the weight list in plan order.
@@ -140,11 +172,15 @@ class DiaOperator:
     def build(cls, mesh: BoxTetMesh, order: int, problem: str,
               bc_dofs: Optional[np.ndarray] = None,
               dtype=jnp.float32, h_override=None,
-              bake_bc: bool = True, mode: str = "auto") -> "DiaOperator":
+              bake_bc: bool = True, mode: str = "auto",
+              device: bool = True) -> "DiaOperator":
         """``bake_bc=False`` records the BC mask without eliminating
         rows/cols in the weights (the matrix-free rows-zero convention).
         ``mode``: "const" | "dense" | "auto" (const for P1 on lattices
-        with >= 6 cubes per axis, dense otherwise)."""
+        with >= 6 cubes per axis, dense otherwise).  ``device=False``
+        keeps every array in numpy — for host-only *_np use (setup-phase
+        spectral estimates); device arrays read back through the TPU
+        tunnel pay a round trip per array."""
         if mode == "auto":
             mode = ("const" if order == 1
                     and min(mesh.Nx, mesh.Ny, mesh.Nz) >= 6 else "dense")
@@ -156,12 +192,24 @@ class DiaOperator:
         if op is None:
             op = cls._build_dense(mesh, order, problem, bc_dofs, dtype,
                                   h_override, bake_bc)
-        # ONE batched host->device transfer (the internal builds keep
-        # numpy: the surrogate's weights are read back on the host, and
-        # per-array transfers each pay a tunnel round trip)
-        op.weights = jax.device_put(op.weights)
-        op.bc_mask = jax.device_put(op.bc_mask)
-        return op
+        return op._finalize(device)
+
+    def _finalize(self, device: bool = True) -> "DiaOperator":
+        """Precompute zone weight fields (const mode) and ship the device
+        state (zones + bc mask; dense-mode weights) in ONE batched
+        transfer (the internal builds keep numpy: per-array transfers
+        each pay a tunnel round trip).  Const-mode surrogate tables stay
+        numpy — they serve only the host twins."""
+        if self.is_const():
+            self._build_zones_np()
+        if not device:
+            return self
+        if self.zones is not None:
+            self.zones = jax.device_put(self.zones)
+        else:
+            self.weights = jax.device_put(self.weights)
+        self.bc_mask = jax.device_put(self.bc_mask)
+        return self
 
     @classmethod
     def _build_dense(cls, mesh, order, problem, bc_dofs, dtype,
@@ -237,17 +285,15 @@ class DiaOperator:
     @classmethod
     def try_const(cls, mesh: BoxTetMesh, order: int, problem: str,
                   bc_dofs: Optional[np.ndarray] = None, dtype=jnp.float32,
-                  bake_bc: bool = True,
-                  h_override=None) -> Optional["DiaOperator"]:
+                  bake_bc: bool = True, h_override=None,
+                  device: bool = True) -> Optional["DiaOperator"]:
         """Const-mode build (no dense fallback) or None — the scalar
         P2/P3 production path; callers fall back to StructuredOperator."""
         op = cls._build_const(mesh, order, problem, bc_dofs, dtype,
                               h_override, bake_bc)
         if op is None:
             return None
-        op.weights = jax.device_put(op.weights)
-        op.bc_mask = jax.device_put(op.bc_mask)
-        return op
+        return op._finalize(device)
 
     @classmethod
     def _build_const(cls, mesh, order, problem, bc_dofs, dtype,
@@ -344,28 +390,9 @@ class DiaOperator:
         return jnp.where(self.bc_mask, 0.0, self.apply(x))
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.is_const():
-            if (self.bs == 1 and len(self.layout.kinds) == 1
-                    and self._fusable()):
-                # single-kind scalar (P1): z-zone fused apply — measured
-                # 3.7x the 3-D table apply on v5e.  bs=3 and multi-kind
-                # layouts measured FASTER with the table apply (trailing
-                # [bs, bs] contractions and per-kind term fanout both
-                # lay out badly on the 8x128 VPU), so they stay on it.
-                return self._apply_const_fused(x)
-            if len(self.layout.kinds) > 1:
-                return self._apply_table_multi(x)
-            return self._apply_table(x)
+        if self.zones is not None:
+            return self._apply_zones(x)
         return self._apply_dense(x)
-
-    def _fusable(self) -> bool:
-        """The fused z-zone apply needs >= 9 grid planes per axis
-        (disjoint 3-plane end zones + nonempty interior); below 16 cubes
-        per axis the operator is latency-bound either way and the table
-        apply's much smaller HLO compiles faster (multigrid programs
-        contain one apply per level per smoothing step)."""
-        lay = self.layout
-        return min(lay.Nx, lay.Ny, lay.Nz) >= 16
 
     def _kind_dims(self, kind: int):
         """((Zr, Yr, Xr), (Zs, Ys, Xs)) real/surrogate dims of one kind."""
@@ -377,188 +404,81 @@ class DiaOperator:
         return ((k[1][2], k[1][1], k[1][0]),
                 (sk[1][2], sk[1][1], sk[1][0]))
 
-    def _clamp_axes(self, kind: int):
-        """Traced per-axis clamp index vectors real-grid -> table for one
-        dof kind (pure iota/where — fused, no host arrays)."""
-        m = _SHELL + 1  # shell (2) + dst-slice offset (1)
-        (rz, ry, rx), (sz, sy, sx) = self._kind_dims(kind)
-        out = []
-        for Lr, Ls in ((rz, sz), (ry, sy), (rx, sx)):
-            i = jnp.arange(Lr, dtype=jnp.int32)
-            out.append(jnp.where(i < m, i,
-                                 jnp.where(i >= Lr - m, Ls - (Lr - i),
-                                           Ls // 2)))
-        return out
-
-    def _clamp_maps(self):
-        return self._clamp_axes(0)
-
-    def _apply_table(self, x: jnp.ndarray) -> jnp.ndarray:
-        """3-D table apply for single-kind const operators: ONE
-        zero-padded input grid; per diagonal the full weight field is
-        reconstructed on the fly from the tiny surrogate table by three
-        clamp-indexed takes — no stored per-diagonal weight grids.
-        Measured 0.67 ms at 2.1M P1 dofs on v5e (5x the dense
-        per-diagonal form); the take gathers cap it ~4x short of the
-        z-zone fused apply, which is why scalar P1 routes there and this
-        path serves bs=3 and sub-threshold lattices."""
-        lay = self.layout
-        bs = self.bs
-        Z, Y, X = lay.Nz + 1, lay.Ny + 1, lay.Nx + 1
-        comp = (bs,) if bs > 1 else ()
-        xg = x.reshape((Z, Y, X) + comp)
-        pads = ((1, 1), (1, 1), (1, 1)) + (((0, 0),) if bs > 1 else ())
-        xp = jnp.pad(xg, pads)
-        qz, qy, qx = self._clamp_maps()
-
-        def field(T):
-            return jnp.take(jnp.take(jnp.take(T, qz, 0), qy, 1), qx, 2)
-
-        if bs == 1:
-            y = None
-            for (ko, so, ki, si, d, _b, _c), T in self.terms():
-                dz, dy, dx = d[2], d[1], d[0]
-                src = xp[1 + dz: 1 + dz + Z, 1 + dy: 1 + dy + Y,
-                         1 + dx: 1 + dx + X]
-                t = field(T) * src
-                y = t if y is None else y + t
-            return y.reshape(-1)
-        # blocked (bs=3): decompose into bs*bs SCALAR component stencils
-        # with static table slices — a [.., bs, bs] weight-field einsum
-        # would stream bs^2 floats per point (10x measured slowdown)
-        comps = [xp[..., s] for s in range(bs)]
-        outs = []
-        for r in range(bs):
-            acc = None
-            for (ko, so, ki, si, d, _b, _c), T in self.terms():
-                dz, dy, dx = d[2], d[1], d[0]
-                for s in range(bs):
-                    src = comps[s][1 + dz: 1 + dz + Z, 1 + dy: 1 + dy + Y,
-                                   1 + dx: 1 + dx + X]
-                    t = field(T[..., r, s]) * src
-                    acc = t if acc is None else acc + t
-            outs.append(acc)
-        return jnp.stack(outs, axis=-1).reshape(-1)
-
-    def _apply_table_multi(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Fused const-mode apply across MULTIPLE typed dof grids (scalar
-        P2/P3): every (kind, slot) component grid is zero-padded by 2 per
-        axis (the widest (dst dim) - (src dim) + shift excursion), each
-        term multiplies a shifted src slab by the on-the-fly
-        clamp-reconstructed weight field, and XLA fuses all terms of one
-        output (kind, slot) into a single elementwise pass — no stored
-        per-diagonal weight grids, no gathers on the dof vector."""
-        lay = self.layout
-        grids = lay.split(x.reshape(-1, 1))  # [Z, Y, X, slots, 1]
-        pads = ((2, 2), (2, 2), (2, 2))
-        comps = [[jnp.pad(g[..., s, 0], pads) for s in range(g.shape[3])]
-                 for g in grids]
-        rdims = [(k[1][2], k[1][1], k[1][0]) for k in lay.kinds]
-        clamp = {}
-        acc = [[None] * k[2] for k in lay.kinds]
-        for (ko, so, ki, si, d, _b, _c), T in self.terms():
-            Z, Y, X = rdims[ko]
-            dz, dy, dx = d[2], d[1], d[0]
-            src = comps[ki][si][2 + dz: 2 + dz + Z, 2 + dy: 2 + dy + Y,
-                                2 + dx: 2 + dx + X]
-            if ko not in clamp:
-                clamp[ko] = self._clamp_axes(ko)
-            qz, qy, qx = clamp[ko]
-            w = jnp.take(jnp.take(jnp.take(T, qz, 0), qy, 1), qx, 2)
-            t = w * src
-            a = acc[ko][so]
-            acc[ko][so] = t if a is None else a + t
-        outs = []
-        for kidx, (b, _dims, s) in enumerate(lay.kinds):
-            cols = [acc[kidx][j] if acc[kidx][j] is not None
-                    else jnp.zeros(rdims[kidx], dtype=x.dtype)
-                    for j in range(s)]
-            outs.append(jnp.stack(cols, axis=-1).reshape(-1))
-        return jnp.concatenate(outs)
-
-    def _field_region(self, T, kind: int, bounds):
-        """Weight field T[qz, qy, qx] restricted to a static region,
-        built from static slices of the tiny table + a center-plane
-        broadcast per axis (the clamp maps are piecewise
-        identity/constant) — no gather instructions."""
+    def _build_zones_np(self) -> None:
+        """Expand every const-table term into PRECOMPUTED z-zone weight
+        fields (host numpy; bs > 1 expands into bs^2 scalar components —
+        trailing [bs, bs] contraction dims lay out terribly on the 8x128
+        VPU).  The clamp maps are identity within 3 planes of each z end
+        and constant between, so the full field over the dst grid is
+        exactly (lo[3, Y, X], mid[1, Y, X] broadcast along z,
+        hi[3, Y, X]); grids shorter than 7 planes store the full field.
+        Doing this at build time keeps the traced apply to ~2 HLO ops per
+        zone — in-trace field reconstruction made the unrolled-V-cycle
+        programs compile in minutes (BENCH_r02: 631 s first solve)."""
         m = _SHELL + 1
-        rd, sd = self._kind_dims(kind)
-        out = T
-        for ax, ((a0, a1), Lr, Ls) in enumerate(zip(bounds, rd, sd)):
-            parts = []
-            lo1 = min(a1, m)
-            if a0 < lo1:
-                parts.append(jax.lax.slice_in_dim(out, a0, lo1, axis=ax))
-            c0, c1 = max(a0, m), min(a1, Lr - m)
-            if c0 < c1:
-                mid = jax.lax.slice_in_dim(out, Ls // 2, Ls // 2 + 1,
-                                           axis=ax)
-                shape = list(mid.shape)
-                shape[ax] = c1 - c0
-                parts.append(jnp.broadcast_to(mid, shape))
-            h0 = max(a0, Lr - m)
-            if h0 < a1:
-                parts.append(jax.lax.slice_in_dim(
-                    out, Ls - (Lr - h0), Ls - (Lr - a1), axis=ax))
-            out = (jnp.concatenate(parts, axis=ax) if len(parts) > 1
-                   else parts[0])
-        return out
+        zone_plan = []
+        zones = []
+        for (ko, so, ki, si, d, _b, _c), T in self.terms():
+            (Zr, Yr, Xr), _sd = self._kind_dims(ko)
+            qz, qy, qx = self._clamp_maps_np(ko)
+            Tn = np.asarray(T)
+            for r in range(self.bs):
+                for s in range(self.bs):
+                    Trs = Tn[..., r, s] if self.bs > 1 else Tn
+                    if not Trs.any():
+                        continue
+                    if Zr >= 2 * m + 1:
+                        fields = (Trs[np.ix_(qz[:m], qy, qx)],
+                                  Trs[np.ix_(qz[m: m + 1], qy, qx)],
+                                  Trs[np.ix_(qz[Zr - m:], qy, qx)])
+                    else:
+                        fields = (Trs[np.ix_(qz, qy, qx)],)
+                    zone_plan.append((ko, so, ki, si, d, r, s))
+                    zones.append(tuple(f.copy() for f in fields))
+        self.zone_plan = tuple(zone_plan)
+        self.zones = tuple(zones)
 
-    def _apply_const_fused(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Bandwidth-optimal const-mode apply (scalar kinds, P1-P3).
+    def _apply_zones(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Bandwidth-optimal const-mode apply (P1-P3, scalar and bs=3).
 
-        The weight field of every term varies only within 3 planes of
-        each axis end (clamp-table structure), so split each OUTPUT grid
-        into three z-zones only:
-
-        - z-mid ([3, Z-3)): the field does not depend on z there, so it
-          is a 2-D [Y, X] field (built from static slices of the tiny
-          surrogate table + a center broadcast — no gathers) BROADCAST
-          along z.  The multiply fuses with the shifted-slice reads into
-          one elementwise pass — the same HBM traffic as a pure constant
-          stencil.  XLA hoists the loop-invariant field build out of the
-          CG while_loop.
-        - z-lo / z-hi (3 planes each): exact [3, Y, X] fields; contiguous
-          slab ops (O(surface)).  Thin y/x-face slabs are deliberately
-          NOT split out: their 4-wide minor dims waste the 128-lane VPU
-          (measured 8x slower than this layout).
-
-        The output is three concats per grid — no full-grid ``.at[]``
-        updates (those copy the array).  Measured (v5e, 2M dofs P1):
-        0.11 ms/apply vs 0.67 ms for the 3-D gather-table apply.
-        """
+        Each component grid is zero-padded by 2 per axis (the widest
+        (dst dim) - (src dim) + shift excursion); every zone term
+        multiplies a shifted src slab by its precomputed weight field and
+        XLA fuses all terms of one output zone into a single elementwise
+        pass.  The z-mid field is [1, Y, X] broadcast along z, so HBM
+        traffic matches a pure constant stencil; z-lo/z-hi are exact
+        3-plane slabs (O(surface)).  Thin y/x-face slabs are deliberately
+        NOT split out: their 4-wide minor dims waste the 128-lane VPU
+        (measured 8x slower).  The output is built by concat per grid —
+        no full-grid ``.at[]`` updates (those copy the array).  Measured
+        (v5e, 2M dofs P1): 0.11 ms/apply."""
         lay = self.layout
         bs = self.bs
+        m = _SHELL + 1
         grids = lay.split(x.reshape(-1, bs) if bs > 1 else x.reshape(-1, 1))
         pads = ((2, 2), (2, 2), (2, 2))
         comps = [[[jnp.pad(g[..., sl, c], pads) for c in range(bs)]
                   for sl in range(g.shape[3])] for g in grids]
         rdims = [(k[1][2], k[1][1], k[1][0]) for k in lay.kinds]
 
-        acc = {}  # (ko, so, r) -> [lo, mid, hi] accumulators
-        for (ko, so, ki, si, d, _b, _c), T in self.terms():
+        acc = {}  # (ko, so, r) -> list of zone accumulators
+        for (ko, so, ki, si, d, r, s), fields in zip(self.zone_plan,
+                                                     self.zones):
             Z, Y, X = rdims[ko]
             dz, dy, dx = d[2], d[1], d[0]
-            for r in range(bs):
-                for s in range(bs):
-                    Trs = T[..., r, s] if bs > 1 else T
-                    xp = comps[ki][si][s]
-                    src = xp[2 + dz: 2 + dz + Z, 2 + dy: 2 + dy + Y,
-                             2 + dx: 2 + dx + X]
-                    f_lo = self._field_region(Trs, ko,
-                                              ((0, 3), (0, Y), (0, X)))
-                    f_mid = self._field_region(Trs, ko,
-                                               ((3, 4), (0, Y), (0, X)))
-                    f_hi = self._field_region(
-                        Trs, ko, ((Z - 3, Z), (0, Y), (0, X)))
-                    parts = (f_lo * src[0:3], f_mid * src[3: Z - 3],
-                             f_hi * src[Z - 3: Z])
-                    a = acc.get((ko, so, r))
-                    if a is None:
-                        acc[(ko, so, r)] = list(parts)
-                    else:
-                        acc[(ko, so, r)] = [u + v
-                                            for u, v in zip(a, parts)]
+            src = comps[ki][si][s][2 + dz: 2 + dz + Z, 2 + dy: 2 + dy + Y,
+                                   2 + dx: 2 + dx + X]
+            if len(fields) == 3:
+                lo, mid, hi = fields
+                parts = (lo * src[0:m], mid * src[m: Z - m],
+                         hi * src[Z - m: Z])
+            else:
+                parts = (fields[0] * src,)
+            a = acc.get((ko, so, r))
+            if a is None:
+                acc[(ko, so, r)] = list(parts)
+            else:
+                acc[(ko, so, r)] = [u + v for u, v in zip(a, parts)]
 
         outs = []
         for kidx, (b, _dims, slots) in enumerate(lay.kinds):
@@ -570,8 +490,10 @@ class DiaOperator:
                     if a is None:
                         cols.append(jnp.zeros((Z, Y, X), dtype=x.dtype))
                         continue
-                    cols.append(jnp.concatenate(a, axis=0))
-            outs.append(jnp.stack(cols, axis=-1).reshape(-1))
+                    cols.append(a[0] if len(a) == 1
+                                else jnp.concatenate(a, axis=0))
+            outs.append(cols[0].reshape(-1) if len(cols) == 1
+                        else jnp.stack(cols, axis=-1).reshape(-1))
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
     def _apply_dense(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -658,7 +580,8 @@ class DiaOperator:
 
 def build_operator(mesh: BoxTetMesh, order: int, problem: str,
                    bc_dofs: Optional[np.ndarray] = None,
-                   dtype=jnp.float32, bake_bc: bool = True):
+                   dtype=jnp.float32, bake_bc: bool = True,
+                   device: bool = True):
     """Pick the structured-operator representation:
 
     - P1: DIA stencil (7-15 shift diagonals — smallest HLO, pure VPU),
@@ -674,12 +597,13 @@ def build_operator(mesh: BoxTetMesh, order: int, problem: str,
     """
     if order == 1:
         return DiaOperator.build(mesh, order, problem, bc_dofs=bc_dofs,
-                                 dtype=dtype, bake_bc=bake_bc)
+                                 dtype=dtype, bake_bc=bake_bc, device=device)
     if problem != "elasticity" and order == 2:
         op = DiaOperator.try_const(mesh, order, problem, bc_dofs=bc_dofs,
-                                   dtype=dtype, bake_bc=bake_bc)
+                                   dtype=dtype, bake_bc=bake_bc,
+                                   device=device)
         if op is not None:
             return op
     from tpufem.fem.structured_op import StructuredOperator
     return StructuredOperator.build(mesh, order, problem, bc_dofs=bc_dofs,
-                                    dtype=dtype)
+                                    dtype=dtype, device=device)

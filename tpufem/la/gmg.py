@@ -375,7 +375,7 @@ def surrogate_lmax(mesh: BoxTetMesh, order: int, problem: str,
     facets = surrogate.locate_boundary_facets(bc_marker)
     bc = DirichletBC.from_space(space, facets)
     sop = build_operator(surrogate, order, problem, bc_dofs=bc.flat_dofs(),
-                         dtype=dtype)
+                         dtype=dtype, device=False)
     sd = 1.0 / sop.diagonal_np()
     return _host_lmax(sop, sd) * 1.05
 

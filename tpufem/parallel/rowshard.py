@@ -17,12 +17,16 @@ create_mesh at src/mesh.cpp:362-368).  TPU-native design:
   tpufem.parallel.gmap.GeneralIndexMaps.fwd).  No reverse scatter is
   needed: rows are never split across shards;
 - **preconditioner**: SA-AMG with the FINE level distributed (sharded
-  Chebyshev smoothing + sharded prolongation) and the coarser levels
-  replicated on every shard — the residual is all_gather-ed once per
-  V-cycle at the first coarse level, where it is O(N/30) of the fine
-  size.  This mirrors the slab solver's replicated-suffix design
-  (tpufem.parallel.slab) and keeps iteration counts identical to the
-  single-device SA-AMG (same hierarchy, same arithmetic);
+  Chebyshev smoothing, sharded restriction over owned rows, sharded
+  prolongation) and the coarser levels replicated on every shard.  The
+  only per-V-cycle collective beyond the smoother's halo refreshes is
+  ONE ``psum`` of the restricted residual at the FIRST COARSE size
+  (O(N/8) of the fine level): each shard scatter-adds P^T r over its
+  owned fine rows into a coarse-length accumulator and the psum
+  combines cross-shard aggregates.  This mirrors the slab solver's
+  replicated-suffix design (tpufem.parallel.slab) and keeps iteration
+  counts identical to the single-device SA-AMG (same hierarchy, same
+  arithmetic up to summation order);
 - **reductions**: owned-masked psum dots (MPI_Allreduce of cg.h:65).
 
 Everything runs inside ONE jitted shard_map program.
@@ -80,6 +84,7 @@ class ShardedEllSolver:
     smoother_degree: int
     lmax0: float
     has_fine_level: bool
+    nc0: int = 0               # first-coarse size (psum payload length)
     _cache: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
@@ -150,7 +155,9 @@ class ShardedEllSolver:
             for s in range(S):
                 dinv_loc[s] = dglob[gmap.local_gids[s]]
             # P rows for ALL local slots (owned + ghost): the prolongated
-            # error is consistent without any exchange (xc is replicated)
+            # error is consistent without any exchange (xc is replicated),
+            # and the restriction P^T r sums the SAME rows masked to
+            # owned slots (each fine row owned by exactly one shard)
             Pc = np.asarray(lv0.P.cols)
             Pv = np.asarray(lv0.P.vals)
             Kp = Pc.shape[1]
@@ -166,8 +173,6 @@ class ShardedEllSolver:
                                       gmap.max_owned + np.arange(ng)])
                 p_cols[s, dst] = Pc[sl]
                 p_vals[s, dst] = Pv[sl]
-            repl["pt0_cols"] = jnp.asarray(np.asarray(lv0.PT.cols))
-            repl["pt0_vals"] = jnp.asarray(np.asarray(lv0.PT.vals))
             from tpufem.la.amg import SAAMG as _S
             suffix = _S(levels=amg.levels[1:], coarse_inv=amg.coarse_inv,
                         smoother_degree=amg.smoother_degree,
@@ -201,7 +206,8 @@ class ShardedEllSolver:
         return cls(gmap=gmap, data=data_d, repl=repl, suffix=suffix,
                    ndofs=N, S=S, mesh_axis=mesh_axis, rtol=rtol,
                    maxit=maxit, smoother_degree=degree,
-                   lmax0=lmax0, has_fine_level=has_fine)
+                   lmax0=lmax0, has_fine_level=has_fine,
+                   nc0=int(amg.level_sizes[1]) if has_fine else 0)
 
     # -- jitted SPMD program -------------------------------------------------
     def _build_program(self):
@@ -211,6 +217,7 @@ class ShardedEllSolver:
         degree = self.smoother_degree
         lmax0 = self.lmax0
         has_fine = self.has_fine_level
+        nc0 = self.nc0
         rounds = gm.rounds
         max_owned = gm.max_owned
 
@@ -249,9 +256,17 @@ class ShardedEllSolver:
                                             degree=degree)
                 x = smooth(jnp.zeros_like(r), r)
                 rr = r - spmv(x)
-                glob = gather_global(rr)
-                rc = jnp.sum(repl["pt0_vals"] * glob[repl["pt0_cols"]],
-                             axis=1)
+                # restriction rc = P^T rr, owner-computes: scatter-add
+                # each OWNED fine row's P-row into a coarse-length
+                # accumulator; ONE psum at coarse size (O(N/8)) combines
+                # the shard partials.  No fine-sized collective anywhere
+                # in the V-cycle (asserted by test_rowshard's jaxpr
+                # payload check).
+                rro = jnp.where(d["owned_mask"], rr, 0.0)
+                contrib = d["p_vals"] * rro[:, None]
+                rc_loc = jnp.zeros(nc0, r.dtype).at[
+                    d["p_cols"].reshape(-1)].add(contrib.reshape(-1))
+                rc = jax.lax.psum(rc_loc, "shard")
                 ec = suffix.vcycle(rc)
                 e = jnp.sum(d["p_vals"] * ec[d["p_cols"]], axis=1)
                 return smooth(x + e, r)
@@ -279,7 +294,10 @@ class ShardedEllSolver:
 
     def _run(self, scale: float = 1.0):
         if "run" not in self._cache:
-            self._cache["run"] = self._build_program()
+            # AOT compile: hits the persistent compilation cache; the
+            # dispatch-path compiler does not (see tpufem.aot)
+            self._cache["run"] = self._build_program().lower(
+                self.data, self.repl, self.suffix).compile()
         data = self.data
         if scale != 1.0:  # perturb so pipelined timing reps can't dedup
             data = dict(data, b=data["b"] * scale)

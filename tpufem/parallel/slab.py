@@ -242,9 +242,7 @@ class ShardedCubeSolver:
         rtol, maxit = self.rtol, self.maxit
         degree = self.smoother_degree
         # static per-level metadata (closed over; only arrays are args)
-        meta = [(lv.dims, lv.nzl, lv.lmax, lv.op.plan, lv.op.layout,
-                 lv.op.surr_dims)
-                for lv in self.levels]
+        meta = [(lv.dims, lv.nzl, lv.lmax) for lv in self.levels]
         K = len(self.levels)
         preconditioned = self.suffix is not None
         suffix_bc_static = (preconditioned and not self.suffix.levels)
@@ -253,13 +251,14 @@ class ShardedCubeSolver:
         npl = [(dims[0] + 1) * (dims[1] + 1) * bs for (dims, *_r) in meta]
         top = [nzl * n for (_d, nzl, *_r), n in zip(meta, npl)]
 
-        def shard_fn(lw, ldinv, lbc, owned, b, suffix):
+        def shard_fn(ops, ldinv, lbc, owned, b, suffix):
+            # ops: per-level slab DiaOperators, passed through shard_map
+            # as replicated pytrees (every shard runs the same slab
+            # stencil; only the diagonal/BC/rhs slabs are sharded)
             ldinv = [d[0] for d in ldinv]
             lbc = [m[0] for m in lbc]
             owned = owned[0]
             b = b[0]
-            ops = [DiaOperator(list(w), None, plan, lay, bs, sd)
-                   for w, (_d, _n, _l, plan, lay, sd) in zip(lw, meta)]
 
             def halo_rev(y, n, t):
                 """Bottom-plane partial sums -> owner above, accumulate."""
@@ -340,11 +339,11 @@ class ShardedCubeSolver:
                                   dot_fn=dot)
             return x[None], it, rel
 
-        lw_specs = tuple(tuple(P() for _ in lv.op.weights)
-                         for lv in self.levels)
+        ops_arg = tuple(lv.op for lv in self.levels)
+        ops_specs = jax.tree.map(lambda _: P(), ops_arg)
         fn = jax.shard_map(
             shard_fn, mesh=self.mesh_axis,
-            in_specs=(lw_specs, (P("shard"),) * K, (P("shard"),) * K,
+            in_specs=(ops_specs, (P("shard"),) * K, (P("shard"),) * K,
                       P("shard"), P("shard"), P()),
             out_specs=(P("shard"), P(), P()),
         )
@@ -352,13 +351,16 @@ class ShardedCubeSolver:
 
     def _run(self, b):
         if "run" not in self._cache:
-            self._cache["run"] = self._build_program()
             self._cache["args"] = (
-                tuple(tuple(lv.op.weights) for lv in self.levels),
+                tuple(lv.op for lv in self.levels),
                 tuple(jnp.asarray(lv.dinv) for lv in self.levels),
                 tuple(jnp.asarray(lv.bc) for lv in self.levels))
-        lw, ldinv, lbc = self._cache["args"]
-        return self._cache["run"](lw, ldinv, lbc, self.owned, b, self.suffix)
+            # AOT compile: hits the persistent compilation cache; the
+            # dispatch-path compiler does not (see tpufem.aot)
+            self._cache["run"] = self._build_program().lower(
+                *self._cache["args"], self.owned, b, self.suffix).compile()
+        ops, ldinv, lbc = self._cache["args"]
+        return self._cache["run"](ops, ldinv, lbc, self.owned, b, self.suffix)
 
     # -- public API -------------------------------------------------------------
     def solve(self) -> Tuple[np.ndarray, int, float]:

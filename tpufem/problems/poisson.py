@@ -230,13 +230,15 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                 pc = None
                 precond_of = lambda A_, _pc: None
 
-            @jax.jit
-            def run(A, pc, x0, rhs):
-                return cg_solve(matvec_of(A), rhs, x0=x0,
-                                precond=precond_of(A, pc),
+            def run(A_, pc_, x0, rhs_):
+                return cg_solve(matvec_of(A_), rhs_, x0=x0,
+                                precond=precond_of(A_, pc_),
                                 rtol=rtol, maxit=maxit)
 
-            cache["run"], cache["pc"] = run, pc
+            # AOT compile: hits the persistent compilation cache; the
+            # dispatch-path compiler does not (see tpufem.aot)
+            from tpufem.aot import compile_aot
+            cache["run"], cache["pc"] = compile_aot(run, A, pc, u0, rhs), pc
         x, it, rel = cache["run"](A, cache["pc"], u0, rhs)
         return x, int(it)
 
