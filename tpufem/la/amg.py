@@ -356,8 +356,22 @@ class SAAMG:
                 Ac = Ac.tocsr()
 
             PT = P.T.tocsr()
+            # densification guard: a level just under dense_limit rows
+            # would otherwise allocate rows^2 floats silently (16384^2
+            # f32 = 1 GiB on device + a f64 host transient); cap the
+            # dense form by bytes and log the conversion
+            nrows = Al.shape[0]
+            dense_bytes = nrows * nrows * np.dtype(dtype).itemsize
+            use_dense = (nrows <= dense_limit
+                         and dense_bytes <= 512 * 1024 * 1024)
+            if use_dense:
+                import logging
+                logging.getLogger("tpufem").info(
+                    "AMG level %d (%d rows) densified for MXU matvecs "
+                    "(%.1f MiB device)", len(levels) + 1, nrows,
+                    dense_bytes / 2**20)
             A_dev = (DenseMat(jnp.asarray(Al.toarray(), dtype=dtype))
-                     if Al.shape[0] <= dense_limit
+                     if use_dense
                      else csr_to_ell(Al.indptr, Al.indices, Al.data,
                                      dtype=dtype))
             levels.append(_Level(

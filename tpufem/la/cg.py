@@ -66,3 +66,76 @@ def cg_solve(action: Callable[[jnp.ndarray], jnp.ndarray],
     x, r, z, p, rz, rnorm, k = jax.lax.while_loop(cond, body, state)
     rel = jnp.sqrt(rnorm / rnorm0)
     return x, k, rel
+
+
+def cg_solve_fused(action: Callable[[jnp.ndarray], jnp.ndarray],
+                   b: jnp.ndarray,
+                   x0: Optional[jnp.ndarray] = None,
+                   rtol: float = 1e-8,
+                   maxit: int = 100,
+                   dot_fn: Callable = dot,
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Unpreconditioned CG, Chronopoulos-Gear single-matvec form with
+    barrier-free updates — the bandwidth-lean variant behind the
+    cgpoisson Gdof/s metric.
+
+    Identical Krylov trajectory to :func:`cg_solve` in exact arithmetic
+    (same iterates, same residuals); finite-precision iterates differ in
+    the last bits because the update order differs.  Why it is faster on
+    TPU: the classic loop interleaves its axpys with reduction barriers
+    (alpha needs p.y before x/r update, beta needs r.r before the p
+    update — measured ~0.5 ms/iter of vector ops at 2.1M dofs, tripling
+    the operator apply); here
+
+    - the two reductions (r.r and w.r, w = A r) happen together right
+      after the matvec (one fused pass over r and w);
+    - all four vector updates (p, s = A p, x, r) use only
+      already-known scalars, so they chain into back-to-back axpys with
+      no reduction barrier between them:
+          p' = r + beta p        s' = w + beta s
+          x' = x + alpha p'      r' = r - alpha s'
+      with alpha_k = rr_k / (w_k.r_k - beta_k rr_k / alpha_{k-1}),
+      beta_k = rr_k / rr_{k-1} (Chronopoulos & Gear 1989; the s
+      recurrence keeps s = A p without a second matvec).
+      The state stays in four separate [N] vectors: a stacked [4, N]
+      form pads the 4 rows to 8 VPU sublanes and measured 1.8-2.7x
+      slower on v5e.
+
+    Convergence: ||r|| / ||r0|| < rtol on the recurrence residual
+    (reference src/cg.h:78), checked AFTER the matvec so the iteration
+    count matches cg_solve's.
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    dt = b.dtype
+
+    r = b - action(x)
+    w = action(r)
+    rr0 = dot_fn(r, r)
+    wr0 = dot_fn(w, r)
+    one = jnp.ones_like(rr0)
+    z = jnp.zeros_like(b)
+
+    def cond(state):
+        p, s, x, r, w, rr, rr_prev, wr, alpha_prev, k = state
+        return jnp.logical_and(k < maxit, rr > rtol * rtol * rr0)
+
+    def body(state):
+        p, s, x, r, w, rr, rr_prev, wr, alpha_prev, k = state
+        beta = jnp.where(k == 0, jnp.zeros_like(rr), rr / rr_prev)
+        alpha = rr / (wr - beta * rr / alpha_prev)
+        a = alpha.astype(dt)
+        bt = beta.astype(dt)
+        pn = r + bt * p
+        sn = w + bt * s
+        xn = x + a * pn
+        rn = r - a * sn
+        wn = action(rn)
+        return (pn, sn, xn, rn, wn, dot_fn(rn, rn), rr, dot_fn(wn, rn),
+                alpha, k + 1)
+
+    state = (z, z, x, r, w, rr0, one, wr0, one,
+             jnp.asarray(0, dtype=jnp.int32))
+    out = jax.lax.while_loop(cond, body, state)
+    x, rr = out[2], out[5]
+    rel = jnp.sqrt(rr / rr0)
+    return x, out[9], rel

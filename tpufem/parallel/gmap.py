@@ -108,8 +108,12 @@ class GeneralIndexMaps:
 
     def rev_add(self, y: jnp.ndarray, send_idx, send_mask, recv_idx,
                 recv_mask, axis: str = "shard") -> jnp.ndarray:
-        """Accumulate ghost partial sums into owners (scatter_rev(plus)),
-        then zero the ghost block (callers refresh with fwd)."""
+        """Accumulate ghost partial sums into owners (scatter_rev(plus)).
+
+        Ghost slots are left holding their STALE partial sums — callers
+        must refresh them with ``fwd`` (or mask them) before reading the
+        full local vector; reducing over all slots, or chaining a second
+        rev_add without a fwd in between, would double-count."""
         for r, perm in enumerate(self.rounds):
             rperm = [(b, a) for (a, b) in perm]
             vals = jnp.where(recv_mask[r], y[recv_idx[r]], 0.0)

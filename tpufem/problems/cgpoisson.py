@@ -112,12 +112,22 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         # constant-stencil matrix-free action: zero gather/scatter
         # (the TPU-fast path; ~150x the throughput of gather+segment_sum).
         # All orders use the DIA (shift-diagonal) form where the lattice
-        # permits — unbaked BC weights + rows-zero mask (the matrix-free
-        # convention, columns handled by the x[bc] = 0 invariant); tiny
-        # lattices fall back to per-perm element matmuls.
-        from tpufem.fem.dia_op import build_operator
+        # permits, with BC elimination BAKED into the weights (zeroed
+        # rows/cols + unit diagonal): with b[bc] = 0 the Krylov
+        # trajectory on the BC-zero subspace is identical to the
+        # reference's rows-zero convention (cgpoisson_problem.cpp:207)
+        # — y[bc] = 1.0 * x[bc] keeps the constrained entries exactly
+        # zero — and the apply needs no separate mask pass (one fewer
+        # full-vector HBM pass per iteration).  Tiny lattices fall back
+        # to per-perm element matmuls with the explicit rows-zero mask.
+        from tpufem.fem.dia_op import DiaOperator, build_operator
         op = build_operator(mesh, order, "poisson", bc_dofs=bc.flat_dofs(),
-                            dtype=dtype, bake_bc=False)
+                            dtype=dtype, bake_bc=True)
+        baked = isinstance(op, DiaOperator) and op.is_const()
+        if not baked:
+            op = build_operator(mesh, order, "poisson",
+                                bc_dofs=bc.flat_dofs(), dtype=dtype,
+                                bake_bc=False)
         if order == 1 and cfg.solver.extra.get("use_pallas"):
             # fused single-pass stencil kernel (opt-in; the default
             # XLA table apply fuses to the same single pass and
@@ -126,13 +136,17 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
             cfg.solver._consumed.add("use_pallas")
             from tpufem.fem.pallas_stencil import PallasStencilOp
             try:
-                op = PallasStencilOp.from_dia(op)
+                op = PallasStencilOp.from_dia(build_operator(
+                    mesh, order, "poisson", bc_dofs=bc.flat_dofs(),
+                    dtype=dtype, bake_bc=False))
+                baked = False
             except ValueError:
                 import logging
                 logging.getLogger("tpufem").warning(
                     "use_pallas ignored: operator is not const-mode "
                     "P1 (lattice below 6 cubes/axis)")
-        apply_of = lambda o: o.apply_bc_rows_zero
+        apply_of = ((lambda o: o.apply) if baked
+                    else (lambda o: o.apply_bc_rows_zero))
     else:
         scatter = DofScatter(space.cell_dofs, space.ndofs_scalar)
         op = make_action(space, bc, scatter, dtype)
@@ -152,9 +166,10 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         # AOT compile: hits the persistent compilation cache; the
         # dispatch-path compiler does not (see tpufem.aot)
         from tpufem.aot import compile_aot
+        from tpufem.la.cg import cg_solve_fused
         cache["run"] = compile_aot(
-            lambda o, x, r: cg_solve(apply_of(o), r, x0=x, rtol=rtol,
-                                     maxit=kmax), op_, x0, rhs_)
+            lambda o, x, r: cg_solve_fused(apply_of(o), r, x0=x, rtol=rtol,
+                                           maxit=kmax), op_, x0, rhs_)
         return cache["run"]
 
     def solver_function(u0: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, int]:

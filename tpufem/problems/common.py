@@ -38,12 +38,17 @@ def facet_to_cell(cell_faces: np.ndarray, facets: np.ndarray) -> Tuple[np.ndarra
     return hit // cell_faces.shape[1], hit % cell_faces.shape[1]
 
 
+def poisson_f_xy(x, y, xp=np):
+    """RHS bump on broadcastable x/y coordinate arrays, ``xp`` = numpy
+    or jax.numpy — the SINGLE source of the closed form for both the
+    host and on-device assembly paths (they must not diverge)."""
+    return 10.0 * xp.exp(-((x - 0.5) ** 2 + (y - 0.5) ** 2) / 0.02)
+
+
 def poisson_f(x: np.ndarray) -> np.ndarray:
     """RHS bump  f = 10 exp(-((x-.5)^2+(y-.5)^2)/0.02)
     (reference: src/poisson_problem.cpp:85-98)."""
-    dx = x[:, 0] - 0.5
-    dy = x[:, 1] - 0.5
-    return 10.0 * np.exp(-(dx * dx + dy * dy) / 0.02)
+    return poisson_f_xy(x[:, 0], x[:, 1])
 
 
 def poisson_g(x: np.ndarray) -> np.ndarray:
@@ -59,15 +64,21 @@ def poisson_bc_marker(x: np.ndarray) -> np.ndarray:
     return (np.abs(x[:, 0]) < eps) | (np.abs(x[:, 0] - 1.0) < eps)
 
 
-def elasticity_f(x: np.ndarray) -> np.ndarray:
-    """Rotational body force (-dz*r*y, 1, dx*r*y)
+def elasticity_f_components(x, y, z, xp=np):
+    """Rotational body force (-dz*r*y, 1, dx*r*y) on broadcastable
+    coordinate arrays, ``xp`` = numpy or jax.numpy — the SINGLE source
+    of the closed form for both the host and on-device assembly paths
     (reference: src/elasticity_problem.cpp:154-176)."""
-    dx = x[:, 0] - 0.5
-    dz = x[:, 2] - 0.5
-    r = np.sqrt(dx * dx + dz * dz)
-    return np.stack([-dz * r * x[:, 1],
-                     np.ones_like(r),
-                     dx * r * x[:, 1]], axis=-1)
+    dx = x - 0.5
+    dz = z - 0.5
+    r = xp.sqrt(dx * dx + dz * dz)
+    return (-dz * r * y, xp.ones_like(r * y), dx * r * y)
+
+
+def elasticity_f(x: np.ndarray) -> np.ndarray:
+    """Rotational body force at point rows [n, 3]."""
+    return np.stack(
+        elasticity_f_components(x[:, 0], x[:, 1], x[:, 2]), axis=-1)
 
 
 def elasticity_bc_marker(x: np.ndarray) -> np.ndarray:

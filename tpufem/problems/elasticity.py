@@ -59,19 +59,15 @@ def assemble_elasticity_rhs_structured_dev(space: FunctionSpace, bc,
 
         @jax.jit
         def rhs1(mass, idx, val):
-            # f = (-dz*r*y, 1, dx*r*y), common.py:62
-            # (elasticity_problem.cpp:154-176); vertex coords from iota
-            x = jnp.arange(Nx + 1, dtype=dtype) / Nx
-            y = jnp.arange(Ny + 1, dtype=dtype) / Ny
-            z = jnp.arange(Nz + 1, dtype=dtype) / Nz
-            dx = (x - 0.5)[None, None, :]
-            dz = (z - 0.5)[:, None, None]
-            yy = y[None, :, None]
-            r = jnp.sqrt(dx * dx + dz * dz)
+            # the SHARED closed form (common.elasticity_f_components)
+            # evaluated on traced iota coords — device and host paths
+            # cannot diverge
+            x = (jnp.arange(Nx + 1, dtype=dtype) / Nx)[None, None, :]
+            y = (jnp.arange(Ny + 1, dtype=dtype) / Ny)[None, :, None]
+            z = (jnp.arange(Nz + 1, dtype=dtype) / Nz)[:, None, None]
             shape = (Nz + 1, Ny + 1, Nx + 1)
-            comps = (jnp.broadcast_to(-dz * r * yy, shape),
-                     jnp.ones(shape, dtype=dtype),
-                     jnp.broadcast_to(dx * r * yy, shape))
+            comps = [jnp.broadcast_to(c, shape) for c in
+                     common.elasticity_f_components(x, y, z, jnp)]
             b = jnp.stack([mass.apply(c.reshape(-1)) for c in comps],
                           axis=-1)
             return b.reshape(-1).at[idx].set(val)

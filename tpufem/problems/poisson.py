@@ -99,10 +99,11 @@ def assemble_poisson_rhs_structured_dev(space: FunctionSpace, bc, dtype):
 
         @jax.jit
         def rhs1(mass, fidx, fvals, idx, val):
-            x = jnp.arange(Nx + 1, dtype=dtype) / Nx - 0.5
-            y = jnp.arange(Ny + 1, dtype=dtype) / Ny - 0.5
-            f2d = 10.0 * jnp.exp(-(x[None, :] ** 2 + y[:, None] ** 2)
-                                 / 0.02)  # poisson_f, common.py:41
+            x = jnp.arange(Nx + 1, dtype=dtype) / Nx
+            y = jnp.arange(Ny + 1, dtype=dtype) / Ny
+            # the SHARED closed form (common.poisson_f_xy) evaluated on
+            # traced coords — device and host paths cannot diverge
+            f2d = common.poisson_f_xy(x[None, :], y[:, None], jnp)
             fd = jnp.broadcast_to(
                 f2d, (Nz + 1, Ny + 1, Nx + 1)).reshape(-1)
             b = mass.apply(fd)

@@ -103,15 +103,17 @@ def problem_rowshard(mesh, order: int, cfg: Config, problem_name: str,
         rtol = float(solver.extra.get("cg_rtol", 1e-6))
         maxit = int(solver.extra.get("cg_kmax", 100))
         solver._consumed.update(("cg_rtol", "cg_kmax"))
+        precond = False
     else:
         rtol = float(solver.get("ksp_rtol"))
         maxit = int(solver.get("ksp_max_it"))
+        precond = _resolve_sharded_precond(solver, "SA-AMG")
 
     with Timer("ZZZ Solver setup"):
         sh = ShardedEllSolver.build(
             space, bc, csr, b_np, num_shards, solver, dtype=dtype,
             near_nullspace=nns, rtol=rtol, maxit=maxit,
-            precond=not matfree)
+            precond=precond)
 
     def solver_function(u0, rhs) -> Tuple[jnp.ndarray, int]:
         x, it, rel, dt = sh.solve_timed(reps=3)
@@ -127,6 +129,22 @@ def problem_rowshard(mesh, order: int, cfg: Config, problem_name: str,
                           u=jnp.zeros(space.ndofs, dtype=dtype),
                           solver_function=solver_function,
                           space=space, bc=bc)
+
+
+def _resolve_sharded_precond(solver, forced_name: str) -> bool:
+    """Honor ``-pc_type none`` on the sharded paths; any other explicit
+    choice is overridden by the path's multigrid and logged (the serial
+    path honors jacobi etc. — the distributed programs implement only
+    their multigrid and unpreconditioned CG)."""
+    import logging
+    pc_type = solver.get("pc_type")
+    if pc_type == "none":
+        return False
+    if pc_type not in ("auto", "amg", "gmg"):
+        logging.getLogger("tpufem").warning(
+            "sharded path ignores '-pc_type %s' and uses %s "
+            "(only 'none' is honored here)", pc_type, forced_name)
+    return True
 
 
 def problem(mesh, order: int, cfg: Config, problem_name: str,
@@ -157,7 +175,7 @@ def problem(mesh, order: int, cfg: Config, problem_name: str,
     else:
         rtol = float(solver.get("ksp_rtol"))
         maxit = int(solver.get("ksp_max_it"))
-        precond = True
+        precond = _resolve_sharded_precond(solver, "geometric multigrid")
 
     with Timer("ZZZ Assemble matrix"):
         sh = ShardedCubeSolver.build(
