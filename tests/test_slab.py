@@ -22,19 +22,20 @@ from tpufem.parallel.slab import ShardedCubeSolver, _default_rhs
 from tpufem.problems import common
 
 
-def _single_device(mesh, problem, rtol=1e-8, maxit=60, precond=True):
+def _single_device(mesh, problem, rtol=1e-8, maxit=60, precond=True,
+                   order=1):
     bs = 3 if problem == "elasticity" else 1
     marker = (common.elasticity_bc_marker if problem == "elasticity"
               else common.poisson_bc_marker)
-    space = FunctionSpace(mesh, 1, bs=bs)
+    space = FunctionSpace(mesh, order, bs=bs)
     bc = DirichletBC.from_space(space, mesh.locate_boundary_facets(marker))
-    A = build_operator(mesh, 1, problem, bc_dofs=bc.flat_dofs(),
+    A = build_operator(mesh, order, problem, bc_dofs=bc.flat_dofs(),
                        dtype=jnp.float64)
-    b = _default_rhs(mesh, problem, bs)
+    b = _default_rhs(mesh, problem, bs, order)
     b[bc.flat_dofs()] = 0.0
     b = jnp.asarray(b)
     if precond:
-        pc = GMG.setup(mesh, 1, problem, marker, dtype=jnp.float64,
+        pc = GMG.setup(mesh, order, problem, marker, dtype=jnp.float64,
                        coarse_limit=1000)
         run = jax.jit(lambda A, pc, b: cg_solve(
             A.apply, b, precond=pc.vcycle, rtol=rtol, maxit=maxit))
@@ -66,6 +67,42 @@ def test_sharded_gmg_matches_single_device(dims, S, problem, expect_K):
     assert err < 1e-10
 
 
+@pytest.mark.parametrize("dims,S", [((8, 8, 16), 4), ((10, 8, 12), 2)])
+def test_sharded_p2_gmg_matches_single_device(dims, S):
+    """Distributed P2 cube GMG (p-transfer level sharded over z-slabs)
+    must match the single-device order-2 GMG exactly — iteration counts
+    EQUAL, solutions to rounding.  Reference runs order 3 on 2 ranks in
+    CI (ccpp.yml:86-101)."""
+    mesh = BoxTetMesh(*dims)
+    sh = ShardedCubeSolver.build(mesh, S, problem="poisson", order=2,
+                                 dtype=jnp.float64, rtol=1e-8, maxit=60,
+                                 gather_limit=500)
+    assert sh.levels[0].order == 2 and sh.levels[1].order == 1
+    # P2 interface plan covers vertex + the three in-plane edge kinds
+    assert len(sh.levels[0].iface) == 4
+    xs, its, rels = sh.solve()
+    x1, it1, rel1 = _single_device(mesh, "poisson", order=2)
+    assert its == it1
+    assert rels < 1e-8
+    err = np.abs(xs - x1).max() / np.abs(x1).max()
+    assert err < 1e-10
+
+
+def test_sharded_p2_unpreconditioned_cg():
+    """Sharded matrix-free P2 (the cgpoisson convention) on slabs."""
+    mesh = BoxTetMesh(6, 6, 8)
+    sh = ShardedCubeSolver.build(mesh, 4, problem="poisson", order=2,
+                                 dtype=jnp.float64, rtol=1e-6, maxit=400,
+                                 precond=False)
+    xs, its, rels = sh.solve()
+    x1, it1, rel1 = _single_device(mesh, "poisson", rtol=1e-6, maxit=400,
+                                   precond=False, order=2)
+    assert abs(its - it1) <= 1
+    assert rels < 1e-6
+    err = np.abs(xs - x1).max() / np.abs(x1).max()
+    assert err < 1e-8
+
+
 def test_sharded_unpreconditioned_cg():
     """precond=False is the cgpoisson matrix-free convention."""
     mesh = BoxTetMesh(8, 8, 16)
@@ -85,4 +122,5 @@ def test_sharded_rejects_bad_shapes():
     with pytest.raises(ValueError, match="not divisible"):
         ShardedCubeSolver.build(BoxTetMesh(8, 8, 10), 4)
     with pytest.raises(NotImplementedError):
-        ShardedCubeSolver.build(BoxTetMesh(8, 8, 16), 4, order=2)
+        ShardedCubeSolver.build(BoxTetMesh(8, 8, 16), 4, order=2,
+                                problem="elasticity")

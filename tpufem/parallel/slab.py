@@ -53,7 +53,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tpufem.fem.dia_op import DiaOperator
 from tpufem.la.cg import cg_solve
 from tpufem.la.chebyshev import chebyshev_smoother
-from tpufem.la.gmg import GMG, prolong_h, restrict_h, surrogate_lmax
+from tpufem.la.gmg import (GMG, prolong_h, prolong_p, restrict_h,
+                           restrict_p, surrogate_lmax)
 from tpufem.mesh.structured import BoxTetMesh
 
 
@@ -72,28 +73,44 @@ def _level_chain(mesh: BoxTetMesh, bs: int, coarse_limit: int,
     return chain
 
 
-def _slab_stack(planes: np.ndarray, S: int, nzl: int) -> np.ndarray:
-    """[Z+1, m] plane-major global array -> [S, (nzl+1)*m] overlapping
-    z-slabs (plane s*nzl is shard s's ghost and shard s-1's top)."""
-    return np.stack([planes[s * nzl: (s + 1) * nzl + 1].reshape(-1)
-                     for s in range(S)])
+def slab_global_ids(mesh: BoxTetMesh, order: int, nzl: int, S: int,
+                    bs: int = 1):
+    """[S, nloc] global flat dof indices of each slab's local dofs.
+
+    Kind-by-kind z-slices of the typed dof grids: kinds whose lattice
+    direction has dz = 0 span nzl+1 planes and overlap neighbours by the
+    interface plane; dz = 1 kinds partition exactly.  Works for every
+    order (P1's single vertex kind reduces to the plane-major slab)."""
+    from tpufem.fem.structured_op import grid_layout
+    lay_g = grid_layout(mesh, order)
+    lay_s = grid_layout(BoxTetMesh(mesh.Nx, mesh.Ny, nzl), order)
+    ids = np.empty((S, lay_s.ndofs), dtype=np.int64)
+    for (bg, (Xg, Yg, Zg), sg), (bl, (Xl, Yl, Zl), sl) in zip(
+            lay_g.kinds, lay_s.kinds):
+        mrow = Xg * Yg * sg
+        loc = bl + np.arange(Zl * mrow)
+        for s in range(S):
+            ids[s, loc] = bg + (s * nzl) * mrow + np.arange(Zl * mrow)
+    if bs > 1:
+        ids = (ids[:, :, None] * bs + np.arange(bs)).reshape(S, -1)
+    return ids, lay_s
 
 
-def _global_diag_planes(d_slab: np.ndarray, S: int, nzl: int) -> np.ndarray:
-    """Global operator diagonal (plane-major [Z+1, m]) from ONE slab
-    operator's diagonal [nzl+1, m]: interface planes sum the two partial
-    diagonals; interior planes repeat the slab pattern (the raw stencil
-    diagonal is z-translation-invariant away from the global ends)."""
-    m = d_slab.shape[1]
-    Zp = S * nzl + 1
-    g = np.empty((Zp, m), dtype=d_slab.dtype)
-    g[0] = d_slab[0]
-    g[-1] = d_slab[nzl]
-    for s in range(S):
-        g[s * nzl + 1: (s + 1) * nzl] = d_slab[1:nzl]
-    if S > 1:
-        g[nzl:-1:nzl] = d_slab[0] + d_slab[nzl]
-    return g
+def iface_plan(lay_s, nzl: int, bs: int = 1) -> Tuple:
+    """Static flat slices of the slab-interface dofs.
+
+    Only dof kinds whose grid spans nzl+1 z-planes (lattice direction
+    dz = 0) have entries ON the plane shared between adjacent slabs —
+    dz = 1 kinds live strictly between planes of one slab.  Each entry
+    is (bottom_ghost_start, top_owned_start, length); both slices are
+    contiguous in the kind-major flat layout, so the halo exchange is a
+    concat of static slices + ONE ppermute (no gathers)."""
+    plan = []
+    for base, (X, Y, Z), s in lay_s.kinds:
+        if Z == nzl + 1:
+            m = X * Y * s * bs
+            plan.append((base * bs, base * bs + nzl * m, m))
+    return tuple(plan)
 
 
 @dataclasses.dataclass
@@ -106,6 +123,8 @@ class _Level:
     dims: Tuple[int, int, int]   # global (Nx, Ny, Nz) of this level
     nzl: int               # cube layers per shard
     lmax: float
+    order: int             # polynomial order of this level
+    iface: Tuple           # interface slice plan (see iface_plan)
 
 
 @dataclasses.dataclass
@@ -135,10 +154,15 @@ class ShardedCubeSolver:
               max_levels: int = 12, gather_limit: int = 100_000,
               devices=None, b_global: Optional[np.ndarray] = None,
               ) -> "ShardedCubeSolver":
-        if order != 1:
+        """Orders >= 2 (scalar) add a p-coarsening level on top of the
+        P1 h-chain (the GMG.setup walk, gmg.py): the order-k fine level
+        shards over the SAME z-slabs, restrict_p/prolong_p act slab-
+        locally, and interface-plane contributions ride the same halo.
+        Reference: order-3 runs on 2 ranks in CI (ccpp.yml:86-101)."""
+        if order > 1 and problem == "elasticity":
             raise NotImplementedError(
-                "sharded cube path is P1 (order-1); higher orders run "
-                "single-device")
+                "sharded elasticity is P1 on the slab path; higher "
+                "orders run row-sharded (tpufem.parallel.rowshard)")
         from tpufem.fem.dirichlet import DirichletBC
         from tpufem.fem.space import FunctionSpace
         from tpufem.problems import common
@@ -154,6 +178,7 @@ class ShardedCubeSolver:
                 "this for CLI meshes)")
 
         chain = _level_chain(mesh, bs, coarse_limit, max_levels)
+        lmax_of = {}
         if precond:
             # sharded prefix: levels whose z extent splits into equal
             # even slabs; the first level at/below gather_limit dofs
@@ -170,40 +195,52 @@ class ShardedCubeSolver:
                     f"cannot shard {mesh.Nx}x{mesh.Ny}x{mesh.Nz} over {S} "
                     f"slabs with multigrid (Nz/S={mesh.Nz // S} must be "
                     "even); increase the mesh or lower the shard count")
-            lmax = surrogate_lmax(mesh, 1, problem, marker, dtype)
+            for k in sorted({1, order}):
+                lmax_of[k] = surrogate_lmax(mesh, k, problem, marker, dtype)
+            specs = ([(chain[0], order)] if order > 1 else []) \
+                + [(chain[i], 1) for i in range(K)]
         else:
-            K = 1
-            lmax = 1.0
+            lmax_of = {order: 1.0}
+            specs = [(chain[0], order)]
 
-        def level_bc_planes(nx, ny, nz):
-            lmesh = BoxTetMesh(nx, ny, nz)
-            lspace = FunctionSpace(lmesh, 1, bs=bs)
-            lbc = DirichletBC.from_space(
-                lspace, lmesh.locate_boundary_facets(marker))
-            mask = np.zeros(lspace.ndofs, dtype=bool)
-            mask[lbc.flat_dofs()] = True
-            return lbc, mask.reshape(nz + 1, (nx + 1) * (ny + 1) * bs)
+        from tpufem.fem.dia_op import build_operator as build_host_op
 
         levels: List[_Level] = []
-        fine_bc = None
-        for i in range(K):
-            nx, ny, nz = chain[i]
+        ids0 = None
+        for dims, kord in specs:
+            nx, ny, nz = dims
             nzl = nz // S
             slab = BoxTetMesh(nx, ny, nzl)
-            op = DiaOperator.build(slab, 1, problem, dtype=dtype,
-                                   h_override=(1.0 / nx, 1.0 / ny, 1.0 / nz),
-                                   bake_bc=False)
-            m = (nx + 1) * (ny + 1) * bs
-            d_slab = op.diagonal_np().reshape(nzl + 1, m)
-            dinv = 1.0 / _global_diag_planes(d_slab, S, nzl)
-            lbc, bc_planes = level_bc_planes(nx, ny, nz)
-            if i == 0:
-                fine_bc = lbc
+            h_over = (1.0 / nx, 1.0 / ny, 1.0 / nz)
+            if kord == 1:
+                op = DiaOperator.build(slab, 1, problem, dtype=dtype,
+                                       h_override=h_over, bake_bc=False)
+            else:
+                op = DiaOperator.try_const(slab, kord, problem, dtype=dtype,
+                                           bake_bc=False, h_override=h_over)
+                if op is None:
+                    op = DiaOperator.build(slab, kord, problem, dtype=dtype,
+                                           h_override=h_over, bake_bc=False,
+                                           mode="dense")
+            gmesh = BoxTetMesh(nx, ny, nz)
+            ids, lay_s = slab_global_ids(gmesh, kord, nzl, S, bs)
+            gop = build_host_op(gmesh, kord, problem, bc_dofs=None,
+                                dtype=jnp.float64, bake_bc=False,
+                                device=False)
+            dinv_g = 1.0 / gop.diagonal_np()
+            gspace = FunctionSpace(gmesh, kord, bs=bs)
+            gbc = DirichletBC.from_space(
+                gspace, gmesh.locate_boundary_facets(marker))
+            gmask = np.zeros(gspace.ndofs, dtype=bool)
+            gmask[gbc.flat_dofs()] = True
+            if not levels:
+                fine_bc, ids0 = gbc, ids
             levels.append(_Level(
                 op=op,
-                dinv=_slab_stack(dinv, S, nzl).astype(np.dtype(dtype)),
-                bc=_slab_stack(bc_planes, S, nzl),
-                dims=(nx, ny, nz), nzl=nzl, lmax=lmax))
+                dinv=dinv_g[ids].astype(np.dtype(dtype)),
+                bc=gmask[ids],
+                dims=dims, nzl=nzl, lmax=lmax_of[kord], order=kord,
+                iface=iface_plan(lay_s, nzl, bs)))
 
         suffix = None
         if precond:
@@ -213,27 +250,28 @@ class ShardedCubeSolver:
                                max_levels=max_levels - K)
 
         # RHS + owned masks on the finest level
-        nx, ny, nz = chain[0]
-        nzl0 = nz // S
-        m0 = (nx + 1) * (ny + 1) * bs
         if b_global is None:
-            b_global = _default_rhs(mesh, problem, bs)
+            b_global = _default_rhs(mesh, problem, bs, order)
         bg = np.asarray(b_global, dtype=np.float64).copy()
         bg[fine_bc.flat_dofs()] = 0.0
-        b_local = _slab_stack(bg.reshape(nz + 1, m0), S, nzl0)
-        owned = np.ones((S, (nzl0 + 1) * m0), dtype=bool)
-        owned[1:, :m0] = False
+        b_local = bg[ids0]
+        owned = np.ones(ids0.shape, dtype=bool)
+        for (b0, _t, m) in levels[0].iface:
+            owned[1:, b0: b0 + m] = False
 
         if devices is None:
             devices = jax.devices()
         if len(devices) < S:
             raise ValueError(f"need {S} devices, have {len(devices)}")
         mesh_axis = Mesh(np.array(devices[:S]), ("shard",))
-        return cls(levels=levels, suffix=suffix,
-                   b_local=jnp.asarray(b_local.astype(np.dtype(dtype))),
-                   owned=jnp.asarray(owned), bs=bs, S=S,
-                   mesh_axis=mesh_axis, rtol=rtol, maxit=maxit,
-                   smoother_degree=smoother_degree)
+        sol = cls(levels=levels, suffix=suffix,
+                  b_local=jnp.asarray(b_local.astype(np.dtype(dtype))),
+                  owned=jnp.asarray(owned), bs=bs, S=S,
+                  mesh_axis=mesh_axis, rtol=rtol, maxit=maxit,
+                  smoother_degree=smoother_degree)
+        sol._ids0 = ids0
+        sol._ndofs_global = (FunctionSpace(mesh, order, bs=bs).ndofs)
+        return sol
 
     # -- the jitted SPMD program ------------------------------------------------
     def _build_program(self):
@@ -242,14 +280,13 @@ class ShardedCubeSolver:
         rtol, maxit = self.rtol, self.maxit
         degree = self.smoother_degree
         # static per-level metadata (closed over; only arrays are args)
-        meta = [(lv.dims, lv.nzl, lv.lmax) for lv in self.levels]
+        meta = [(lv.dims, lv.nzl, lv.lmax, lv.order, lv.iface)
+                for lv in self.levels]
         K = len(self.levels)
         preconditioned = self.suffix is not None
         suffix_bc_static = (preconditioned and not self.suffix.levels)
         down = [(s, s - 1) for s in range(1, S)]
         up = [(s, s + 1) for s in range(S - 1)]
-        npl = [(dims[0] + 1) * (dims[1] + 1) * bs for (dims, *_r) in meta]
-        top = [nzl * n for (_d, nzl, *_r), n in zip(meta, npl)]
 
         def shard_fn(ops, ldinv, lbc, owned, b, suffix):
             # ops: per-level slab DiaOperators, passed through shard_map
@@ -260,22 +297,46 @@ class ShardedCubeSolver:
             owned = owned[0]
             b = b[0]
 
-            def halo_rev(y, n, t):
-                """Bottom-plane partial sums -> owner above, accumulate."""
-                recv = jax.lax.ppermute(y[:n], "shard", down)
-                return y.at[t: t + n].add(recv)
+            def halo_rev(y, plan):
+                """Interface partial sums -> owner above, accumulate.
+                ONE ppermute over the concatenated interface slices."""
+                segs = [y[b0: b0 + m] for (b0, _t, m) in plan]
+                buf = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+                recv = jax.lax.ppermute(buf, "shard", down)
+                off = 0
+                for (b0, t, m) in plan:
+                    y = y.at[t: t + m].add(recv[off: off + m])
+                    off += m
+                return y
 
-            def halo_fwd(y, n, t):
-                """Owner's top plane -> downstream ghosts."""
-                recv = jax.lax.ppermute(y[t: t + n], "shard", up)
+            def halo_fwd(y, plan):
+                """Owner's interface values -> downstream ghosts."""
+                segs = [y[t: t + m] for (_b, t, m) in plan]
+                buf = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+                recv = jax.lax.ppermute(buf, "shard", up)
                 is_first = jax.lax.axis_index("shard") == 0
-                return y.at[:n].set(jnp.where(is_first, y[:n], recv))
+                off = 0
+                for (b0, _t, m) in plan:
+                    y = y.at[b0: b0 + m].set(
+                        jnp.where(is_first, y[b0: b0 + m],
+                                  recv[off: off + m]))
+                    off += m
+                return y
+
+            def zero_ghost(v, plan):
+                """Zero the ghost interface slices on non-first shards
+                (each interface dof restricted exactly once)."""
+                is_first = jax.lax.axis_index("shard") == 0
+                for (b0, _t, m) in plan:
+                    v = v.at[b0: b0 + m].set(
+                        jnp.where(is_first, v[b0: b0 + m], 0.0))
+                return v
 
             def action(i, x):
                 y = ops[i].apply(x)
-                y = halo_rev(y, npl[i], top[i])
+                y = halo_rev(y, meta[i][4])
                 y = jnp.where(lbc[i], 0.0, y)
-                return halo_fwd(y, npl[i], top[i])
+                return halo_fwd(y, meta[i][4])
 
             def grid(i, v, coarse=False):
                 (nx, ny, _nz), nzl = meta[i][0], meta[i][1]
@@ -295,16 +356,24 @@ class ShardedCubeSolver:
                 x = smooth(jnp.zeros_like(r), r)
                 rr = r - action(i, x)
                 rr = jnp.where(lbc[i], 0.0, rr)
-                # restrict OWNED fine planes only (ghost plane zeroed);
-                # interface contributions ride the reverse halo
-                g = grid(i, rr)
-                is_first = jax.lax.axis_index("shard") == 0
-                g = g.at[0].set(jnp.where(is_first, g[0], 0.0))
-                rc = restrict_h(g, None).reshape(-1)
+                # restrict OWNED dofs only (ghost interface slices
+                # zeroed); cross-interface contributions ride the
+                # reverse halo of the coarse level
+                rr = zero_ghost(rr, meta[i][4])
+                p_transfer = meta[i][3] > 1
+                if p_transfer:
+                    # order-k -> P1 on the SAME lattice (slab-local
+                    # point evaluation; gmg.prolong_p/restrict_p work
+                    # on the slab grids unchanged — every P_k node is
+                    # interpolated from vertices in the same slab,
+                    # ghost plane fresh by invariant)
+                    rc = restrict_p(rr, ops[i], bs).reshape(-1)
+                else:
+                    rc = restrict_h(grid(i, rr), None).reshape(-1)
                 if i + 1 < K:
-                    rc = halo_rev(rc, npl[i + 1], top[i + 1])
+                    rc = halo_rev(rc, meta[i + 1][4])
                     rc = jnp.where(lbc[i + 1], 0.0, rc)
-                    rc = halo_fwd(rc, npl[i + 1], top[i + 1])
+                    rc = halo_fwd(rc, meta[i + 1][4])
                     ec = vcycle(i + 1, rc)
                 else:
                     # gather the coarse slabs; run the replicated suffix
@@ -321,9 +390,15 @@ class ShardedCubeSolver:
                     k = jax.lax.axis_index("shard")
                     ec = jax.lax.dynamic_slice(eg, (k * ctop,),
                                                ((nzl // 2 + 1) * cm,))
-                e = prolong_h(grid(i, ec, coarse=True), None).reshape(-1)
+                if p_transfer:
+                    e = prolong_p(grid(i + 1, ec), ops[i]).reshape(-1)
+                else:
+                    e = prolong_h(grid(i, ec, coarse=True),
+                                  None).reshape(-1)
                 e = jnp.where(lbc[i], 0.0, e)
-                return smooth(x + e, r)
+                x = x + e
+                return smooth(x, r)
+
 
             def dot(u, v):
                 t = (jnp.float64 if (u.dtype == jnp.float32
@@ -382,19 +457,19 @@ class ShardedCubeSolver:
         return x, int(it), float(rel), dt
 
     def collect(self, x_loc: np.ndarray) -> np.ndarray:
-        """Global dof vector from the per-shard slabs (drop ghosts)."""
-        (nx, ny, _nz) = self.levels[0].dims
-        m = (nx + 1) * (ny + 1) * self.bs
-        parts = [x_loc[0]]
-        for s in range(1, self.S):
-            parts.append(x_loc[s][m:])
-        return np.concatenate(parts)
+        """Global dof vector from the per-shard slabs (ghost interface
+        copies overwrite with identical owner values — fwd invariant)."""
+        out = np.empty(self._ndofs_global, dtype=x_loc.dtype)
+        for s in range(self.S):
+            out[self._ids0[s]] = x_loc[s]
+        return out
 
 
-def _default_rhs(mesh: BoxTetMesh, problem: str, bs: int) -> np.ndarray:
+def _default_rhs(mesh: BoxTetMesh, problem: str, bs: int,
+                 order: int = 1) -> np.ndarray:
     """Host f64 RHS for the benchmark problems (one-time setup)."""
     from tpufem.fem.space import FunctionSpace
-    space = FunctionSpace(mesh, 1, bs=bs)
+    space = FunctionSpace(mesh, order, bs=bs)
     if problem == "elasticity":
         from tpufem.problems.elasticity import assemble_elasticity_rhs_np
         return assemble_elasticity_rhs_np(space)
