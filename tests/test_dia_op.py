@@ -146,6 +146,38 @@ def test_zone_apply_matches_host_twin_p1():
         assert np.abs(a - t).max() < 1e-13 * np.abs(t).max()
 
 
+@pytest.mark.parametrize("dims", [(9, 8, 10), (4, 4, 4)])
+def test_planar_apply_matches_interleaved(dims):
+    """Component-planar bs=3 layout (the TPU-fast elasticity form) is a
+    pure permutation of the node-interleaved operator: apply, diagonal
+    and bc mask must all agree under the permutation (const-mode zones
+    and the small-lattice dense fallback)."""
+    mesh = BoxTetMesh(*dims)
+    space = FunctionSpace(mesh, 1, bs=3)
+    bc = DirichletBC.from_space(
+        space, mesh.locate_boundary_facets(common.elasticity_bc_marker))
+    kw = dict(bc_dofs=bc.flat_dofs(), dtype=jnp.float64)
+    op_i = DiaOperator.build(mesh, 1, "elasticity", **kw)
+    op_p = DiaOperator.build(mesh, 1, "elasticity", planar=True, **kw)
+    assert op_p.planar
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(space.ndofs)
+    xp = np.ascontiguousarray(x.reshape(-1, 3).T).reshape(-1)
+    y = np.asarray(op_i.apply(jnp.asarray(x)))
+    yp = np.asarray(op_p.apply(jnp.asarray(xp)))
+    perm_y = np.ascontiguousarray(y.reshape(-1, 3).T).reshape(-1)
+    assert np.abs(yp - perm_y).max() < 1e-12 * np.abs(y).max()
+    d = op_i.diagonal_np()
+    dp = op_p.diagonal_np()
+    assert np.array_equal(np.ascontiguousarray(
+        d.reshape(-1, 3).T).reshape(-1), dp)
+    m = np.asarray(op_i.bc_mask)
+    assert np.array_equal(np.ascontiguousarray(
+        m.reshape(-1, 3).T).reshape(-1), np.asarray(op_p.bc_mask))
+    # host twin follows the planar layout too
+    assert np.abs(op_p.apply_np(xp) - perm_y).max() < 1e-12 * np.abs(y).max()
+
+
 def test_dia_triple_count_p1():
     """P1 Poisson on the Kuhn lattice has at most 15 stencil points; on
     the isotropic unit cube the diagonal couplings cancel exactly and the

@@ -122,6 +122,16 @@ class DiaOperator:
     #                        (tiny HLO; in-trace field reconstruction made
     #                        the unrolled-V-cycle compile explode)
     zone_plan: Optional[Tuple] = None   # static: (ko, so, ki, si, d, r, s)
+    planar: bool = False   # static: bs > 1 component-PLANAR vector layout
+    #                        [c * ndofs + i] instead of the reference's
+    #                        node-interleaved [i * bs + c].  Interleaved
+    #                        grids put the 3 components on the 128-lane
+    #                        minor axis (3/128 utilization — the bs=3
+    #                        apply measured 1.7 ms at 468k dofs, ~40x
+    #                        off bandwidth); planar components are
+    #                        contiguous scalar grids at full lanes.
+    #                        bc_mask / diagonal / apply all use the
+    #                        planar ordering when set.
 
     def tree_flatten(self):
         if self.is_const():
@@ -137,25 +147,25 @@ class DiaOperator:
                 self._wmeta = wmeta
             return (self.bc_mask, self.zones), (
                 self.plan, self.layout, self.bs, self.surr_dims,
-                self.zone_plan, wmeta)
+                self.zone_plan, wmeta, self.planar)
         return (self.bc_mask, tuple(self.weights)), (
             self.plan, self.layout, self.bs, self.surr_dims, self.zone_plan,
-            None)
+            None, self.planar)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        plan, layout, bs, surr_dims, zone_plan, wmeta = aux
+        plan, layout, bs, surr_dims, zone_plan, wmeta, planar = aux
         if wmeta is not None:
             bc_mask, zones = children
             weights = [np.frombuffer(b, dtype=np.dtype(dt)).reshape(shape)
                        for b, shape, dt in wmeta]
             op = cls(weights, bc_mask, plan, layout, bs, surr_dims,
-                     zones, zone_plan)
+                     zones, zone_plan, planar)
             op._wmeta = wmeta
             return op
         bc_mask, weights = children
         return cls(list(weights), bc_mask, plan, layout, bs, surr_dims,
-                   None, zone_plan)
+                   None, zone_plan, planar)
 
     def terms(self):
         """Yield (meta, weight) walking the weight list in plan order.
@@ -173,7 +183,7 @@ class DiaOperator:
               bc_dofs: Optional[np.ndarray] = None,
               dtype=jnp.float32, h_override=None,
               bake_bc: bool = True, mode: str = "auto",
-              device: bool = True) -> "DiaOperator":
+              device: bool = True, planar: bool = False) -> "DiaOperator":
         """``bake_bc=False`` records the BC mask without eliminating
         rows/cols in the weights (the matrix-free rows-zero convention).
         ``mode``: "const" | "dense" | "auto" (const for P1 on lattices
@@ -192,6 +202,7 @@ class DiaOperator:
         if op is None:
             op = cls._build_dense(mesh, order, problem, bc_dofs, dtype,
                                   h_override, bake_bc)
+        op.planar = planar and op.bs > 1
         return op._finalize(device)
 
     def _finalize(self, device: bool = True) -> "DiaOperator":
@@ -202,6 +213,9 @@ class DiaOperator:
         numpy — they serve only the host twins."""
         if self.is_const():
             self._build_zones_np()
+        if self.planar:
+            self.bc_mask = np.ascontiguousarray(
+                np.asarray(self.bc_mask).reshape(-1, self.bs).T).reshape(-1)
         if not device:
             return self
         if self.zones is not None:
@@ -286,13 +300,15 @@ class DiaOperator:
     def try_const(cls, mesh: BoxTetMesh, order: int, problem: str,
                   bc_dofs: Optional[np.ndarray] = None, dtype=jnp.float32,
                   bake_bc: bool = True, h_override=None,
-                  device: bool = True) -> Optional["DiaOperator"]:
+                  device: bool = True,
+                  planar: bool = False) -> Optional["DiaOperator"]:
         """Const-mode build (no dense fallback) or None — the scalar
         P2/P3 production path; callers fall back to StructuredOperator."""
         op = cls._build_const(mesh, order, problem, bc_dofs, dtype,
                               h_override, bake_bc)
         if op is None:
             return None
+        op.planar = planar and op.bs > 1
         return op._finalize(device)
 
     @classmethod
@@ -392,6 +408,11 @@ class DiaOperator:
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.zones is not None:
             return self._apply_zones(x)
+        if self.planar:
+            # dense mode serves only SMALL lattices — permute at the
+            # boundary instead of a planar dense kernel
+            xi = x.reshape(self.bs, -1).T.reshape(-1)
+            return self._apply_dense(xi).reshape(-1, self.bs).T.reshape(-1)
         return self._apply_dense(x)
 
     def _kind_dims(self, kind: int):
@@ -455,11 +476,21 @@ class DiaOperator:
         lay = self.layout
         bs = self.bs
         m = _SHELL + 1
-        grids = lay.split(x.reshape(-1, bs) if bs > 1 else x.reshape(-1, 1))
         pads = ((2, 2), (2, 2), (2, 2))
-        comps = [[[jnp.pad(g[..., sl, c], pads) for c in range(bs)]
-                  for sl in range(g.shape[3])] for g in grids]
         rdims = [(k[1][2], k[1][1], k[1][0]) for k in lay.kinds]
+        if self.planar and bs > 1:
+            # component-planar input: each component is a CONTIGUOUS
+            # scalar grid (full 128-lane slices; const bs>1 is
+            # single-kind P1 by construction)
+            Ns = lay.ndofs
+            Z, Y, X = rdims[0]
+            comps = [[[jnp.pad(x[c * Ns: (c + 1) * Ns].reshape(Z, Y, X),
+                               pads) for c in range(bs)]]]
+        else:
+            grids = lay.split(x.reshape(-1, bs) if bs > 1
+                              else x.reshape(-1, 1))
+            comps = [[[jnp.pad(g[..., sl, c], pads) for c in range(bs)]
+                      for sl in range(g.shape[3])] for g in grids]
 
         acc = {}  # (ko, so, r) -> list of zone accumulators
         for (ko, so, ki, si, d, r, s), fields in zip(self.zone_plan,
@@ -480,6 +511,15 @@ class DiaOperator:
             else:
                 acc[(ko, so, r)] = [u + v for u, v in zip(a, parts)]
 
+        if self.planar and bs > 1:
+            outs = []
+            for r in range(bs):
+                a = acc.get((0, 0, r))
+                col = (jnp.zeros(rdims[0], dtype=x.dtype) if a is None
+                       else (a[0] if len(a) == 1
+                             else jnp.concatenate(a, axis=0)))
+                outs.append(col.reshape(-1))
+            return jnp.concatenate(outs)
         outs = []
         for kidx, (b, _dims, slots) in enumerate(lay.kinds):
             Z, Y, X = rdims[kidx]
@@ -549,12 +589,20 @@ class DiaOperator:
             else:
                 outs[ko][z0:z1, y0:y1, x0:x1, so, :] += np.diagonal(
                     Wn, axis1=-2, axis2=-1)
-        return np.concatenate([o.reshape(-1, bs) for o in outs]).reshape(-1)
+        d = np.concatenate([o.reshape(-1, bs) for o in outs])
+        if self.planar:
+            return np.ascontiguousarray(d.T).reshape(-1)
+        return d.reshape(-1)
 
     def apply_np(self, x: np.ndarray) -> np.ndarray:
-        """Host twin (setup-phase spectral estimates)."""
+        """Host twin (setup-phase spectral estimates).  Uses the
+        operator's vector layout (planar components when ``planar``)."""
         lay = self.layout
         bs = self.bs
+        if self.planar and bs > 1:
+            xi = np.ascontiguousarray(x.reshape(bs, -1).T).reshape(-1)
+            yi = dataclasses.replace(self, planar=False).apply_np(xi)
+            return np.ascontiguousarray(yi.reshape(-1, bs).T).reshape(-1)
         xr = x.reshape(-1, bs)
         grids = [xr[b: b + X * Y * Z * s].reshape(Z, Y, X, s, bs)
                  for b, (X, Y, Z), s in lay.kinds]
@@ -581,7 +629,7 @@ class DiaOperator:
 def build_operator(mesh: BoxTetMesh, order: int, problem: str,
                    bc_dofs: Optional[np.ndarray] = None,
                    dtype=jnp.float32, bake_bc: bool = True,
-                   device: bool = True):
+                   device: bool = True, planar: bool = False):
     """Pick the structured-operator representation:
 
     - P1: DIA stencil (7-15 shift diagonals — smallest HLO, pure VPU),
@@ -597,7 +645,11 @@ def build_operator(mesh: BoxTetMesh, order: int, problem: str,
     """
     if order == 1:
         return DiaOperator.build(mesh, order, problem, bc_dofs=bc_dofs,
-                                 dtype=dtype, bake_bc=bake_bc, device=device)
+                                 dtype=dtype, bake_bc=bake_bc, device=device,
+                                 planar=planar)
+    if planar:
+        raise ValueError("planar layout is implemented for the P1 "
+                         "DiaOperator forms only")
     if problem != "elasticity" and order == 2:
         op = DiaOperator.try_const(mesh, order, problem, bc_dofs=bc_dofs,
                                    dtype=dtype, bake_bc=bake_bc,

@@ -216,27 +216,34 @@ class GMG:
     order: int                  # static: fine order (p-transfer if > 1)
     bs: int                     # static
     smoother_degree: int        # static
+    planar: bool = False        # static: bs > 1 component-planar vectors
+    #                             (see fem.dia_op.DiaOperator.planar)
 
     def tree_flatten(self):
         return (self.levels, self.coarse_inv, self.coarse_bc_mask), (
-            self.dims, self.order, self.bs, self.smoother_degree)
+            self.dims, self.order, self.bs, self.smoother_degree,
+            self.planar)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         levels, coarse_inv, coarse_bc = children
-        dims, order, bs, degree = aux
-        return cls(list(levels), coarse_inv, coarse_bc, dims, order, bs, degree)
+        dims, order, bs, degree, planar = aux
+        return cls(list(levels), coarse_inv, coarse_bc, dims, order, bs,
+                   degree, planar)
 
     # -- setup -----------------------------------------------------------------
     @classmethod
     def setup(cls, mesh: BoxTetMesh, order: int, problem: str,
               bc_marker: Callable, dtype=jnp.float32,
               coarse_limit: int = 1000, smoother_degree: int = 2,
-              max_levels: int = 12) -> "GMG":
+              max_levels: int = 12, planar: bool = False) -> "GMG":
         from tpufem.fem.dirichlet import DirichletBC
         from tpufem.fem.space import FunctionSpace
 
         bs = 3 if problem == "elasticity" else 1
+        planar = planar and bs > 1
+        if planar and order != 1:
+            raise ValueError("planar GMG is P1-only")
 
         def make_level(m: BoxTetMesh, k: int):
             space = FunctionSpace(m, k, bs=bs)
@@ -246,7 +253,7 @@ class GMG:
             # small HLO); Pk fine level: per-perm element matmuls
             from tpufem.fem.dia_op import build_operator
             return build_operator(m, k, problem, bc_dofs=bc.flat_dofs(),
-                                  dtype=dtype)
+                                  dtype=dtype, planar=planar)
 
         meshes = [mesh]
         orders = [order]
@@ -297,23 +304,44 @@ class GMG:
             Ad = sp.bsr_matrix((data, indices, indptr), shape=(n, n)).toarray()
         else:
             Ad = sp.csr_matrix((data, indices, indptr)).toarray()
-        coarse_inv = jnp.asarray(np.linalg.inv(Ad), dtype=dtype)
+        coarse_inv_np = np.linalg.inv(Ad)
         cmask = np.zeros(coarse_ndofs, dtype=bool)
         cmask[bc_c.flat_dofs()] = True
+        if planar:
+            # permute the dense coarse solve to planar component order
+            perm = np.arange(coarse_ndofs).reshape(-1, bs).T.reshape(-1)
+            coarse_inv_np = coarse_inv_np[np.ix_(perm, perm)]
+            cmask = cmask[perm]
+        coarse_inv = jnp.asarray(coarse_inv_np, dtype=dtype)
 
         dims = tuple((m.Nx, m.Ny, m.Nz) for m in meshes)
         return cls(levels=levels, coarse_inv=coarse_inv,
                    coarse_bc_mask=jnp.asarray(cmask), dims=dims,
-                   order=order, bs=bs, smoother_degree=smoother_degree)
+                   order=order, bs=bs, smoother_degree=smoother_degree,
+                   planar=planar)
 
     # -- V-cycle -----------------------------------------------------------------
     def _to_grid(self, x: jnp.ndarray, dims) -> jnp.ndarray:
         Nx, Ny, Nz = dims
+        if self.planar:
+            # planar components lead: transfers vmap over the component
+            # axis as full-lane scalar grids
+            return x.reshape((self.bs, Nz + 1, Ny + 1, Nx + 1))
         return x.reshape((Nz + 1, Ny + 1, Nx + 1) +
                          ((self.bs,) if self.bs > 1 else (1,)))
 
     def _to_flat(self, g: jnp.ndarray) -> jnp.ndarray:
         return g.reshape(-1)
+
+    def _restrict_h(self, fg, cdims):
+        if self.planar:
+            return jax.vmap(lambda g: restrict_h(g, cdims))(fg)
+        return restrict_h(fg, cdims)
+
+    def _prolong_h(self, cg, fdims):
+        if self.planar:
+            return jax.vmap(lambda g: prolong_h(g, fdims))(cg)
+        return prolong_h(cg, fdims)
 
     def _bc_mask_of(self, i: int) -> jnp.ndarray:
         if i == len(self.levels):
@@ -337,7 +365,7 @@ class GMG:
             rc = restrict_p(rr, lv.op, self.bs).reshape(-1)
         else:
             fg = self._to_grid(rr, self.dims[i])
-            rc = self._to_flat(restrict_h(fg, self.dims[i + 1]))
+            rc = self._to_flat(self._restrict_h(fg, self.dims[i + 1]))
         rc = jnp.where(self._bc_mask_of(i + 1), 0.0, rc)
         xc = self.vcycle(rc, i + 1)
         xc = jnp.where(self._bc_mask_of(i + 1), 0.0, xc)
@@ -346,10 +374,29 @@ class GMG:
             e = prolong_p(vg, lv.op).reshape(-1)
         else:
             cg = self._to_grid(xc, self.dims[i + 1])
-            e = self._to_flat(prolong_h(cg, self.dims[i]))
+            e = self._to_flat(self._prolong_h(cg, self.dims[i]))
         e = jnp.where(lv.op.bc_mask, 0.0, e)
         x = x + e
         return smooth(x, r)
+
+
+def gmg_viable(mesh: BoxTetMesh, bs: int, coarse_limit: int = 1000,
+               max_levels: int = 12) -> bool:
+    """Cheap predicate: would GMG.setup succeed on this lattice?  Mirror
+    of setup's mesh walk + the coarsest-level size check (callers use it
+    to choose the operator layout before committing to a build)."""
+    dims = (mesh.Nx, mesh.Ny, mesh.Nz)
+    nlev = 1
+    while True:
+        nx, ny, nz = dims
+        ndofs_here = (nx + 1) * (ny + 1) * (nz + 1) * bs
+        if (ndofs_here <= coarse_limit or nlev >= max_levels
+                or nx % 2 or ny % 2 or nz % 2 or min(nx, ny, nz) < 4):
+            break
+        dims = (nx // 2, ny // 2, nz // 2)
+        nlev += 1
+    nx, ny, nz = dims
+    return (nx + 1) * (ny + 1) * (nz + 1) * bs <= 8 * coarse_limit
 
 
 def surrogate_lmax(mesh: BoxTetMesh, order: int, problem: str,

@@ -41,15 +41,23 @@ def assemble_elasticity_rhs(space: FunctionSpace, scatter: DofScatter,
 
 
 def assemble_elasticity_rhs_structured_dev(space: FunctionSpace, bc,
-                                           dtype) -> jnp.ndarray:
+                                           dtype,
+                                           planar: bool = False
+                                           ) -> jnp.ndarray:
     """Device-side production RHS on BoxTetMesh: three jitted scalar
     mass-stencil applies (one per component).  On the P1 path the
     rotational body force is evaluated ON DEVICE from iota coords (no
-    [ndofs, 3] host transfer); higher orders interpolate on the host."""
-    import jax
+    [ndofs, 3] host transfer); higher orders interpolate on the host.
+    ``planar`` emits the component-planar layout the planar solve path
+    consumes."""
     mesh = space.mesh
     nd = np.dtype(dtype)
-    bc_idx = jnp.asarray(bc.flat_dofs().astype(np.int32))
+    from tpufem.aot import compile_aot
+    idx_np = bc.flat_dofs().astype(np.int64)
+    ns = space.ndofs_scalar
+    if planar:
+        idx_np = (idx_np % 3) * ns + idx_np // 3
+    bc_idx = jnp.asarray(idx_np.astype(np.int32))
     bc_val = jnp.asarray(nd.type(bc.value))
 
     if space.order == 1:
@@ -57,7 +65,6 @@ def assemble_elasticity_rhs_structured_dev(space: FunctionSpace, bc,
         mass = DiaOperator.build(mesh, 1, "mass", dtype=dtype)
         Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
 
-        @jax.jit
         def rhs1(mass, idx, val):
             # the SHARED closed form (common.elasticity_f_components)
             # evaluated on traced iota coords — device and host paths
@@ -68,22 +75,26 @@ def assemble_elasticity_rhs_structured_dev(space: FunctionSpace, bc,
             shape = (Nz + 1, Ny + 1, Nx + 1)
             comps = [jnp.broadcast_to(c, shape) for c in
                      common.elasticity_f_components(x, y, z, jnp)]
-            b = jnp.stack([mass.apply(c.reshape(-1)) for c in comps],
-                          axis=-1)
-            return b.reshape(-1).at[idx].set(val)
+            cols = [mass.apply(c.reshape(-1)) for c in comps]
+            b = (jnp.concatenate(cols) if planar
+                 else jnp.stack(cols, axis=-1).reshape(-1))
+            return b.at[idx].set(val)
 
-        return rhs1(mass, bc_idx, bc_val)
+        return compile_aot(rhs1, mass, bc_idx, bc_val)(mass, bc_idx, bc_val)
 
     from tpufem.fem.structured_op import StructuredOperator
     mass = StructuredOperator.build(mesh, space.order, "mass", dtype=dtype)
     f = space.interpolate(common.elasticity_f).reshape(-1, 3)
 
-    @jax.jit
     def rhs(mass, fd, idx, val):
-        b = jnp.stack([mass.apply_raw(fd[:, r]) for r in range(3)], axis=-1)
-        return b.reshape(-1).at[idx].set(val)
+        cols = [mass.apply_raw(fd[:, r]) for r in range(3)]
+        b = (jnp.concatenate(cols) if planar
+             else jnp.stack(cols, axis=-1).reshape(-1))
+        return b.at[idx].set(val)
 
-    return rhs(mass, jnp.asarray(f.astype(nd)), bc_idx, bc_val)
+    fd = jnp.asarray(f.astype(nd))
+    return compile_aot(rhs, mass, fd, bc_idx, bc_val)(mass, fd, bc_idx,
+                                                      bc_val)
 
 
 def assemble_elasticity_rhs_np(space: FunctionSpace) -> np.ndarray:
@@ -125,11 +136,27 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         facets = mesh.locate_boundary_facets(common.elasticity_bc_marker)
         bc = DirichletBC.from_space(space, facets)
 
+    # component-PLANAR vector layout for the structured P1 solve: the
+    # node-interleaved layout puts the 3 components on the 128-lane
+    # minor axis (3/128 utilization; the interleaved bs=3 apply measured
+    # ~1.7 ms at 468k dofs vs ~0.1 ms planar).  Only when every solver
+    # piece supports it: P1 DIA + GMG/Jacobi/none (AMG works on the
+    # assembled interleaved CSR).
+    pc_type = cfg.solver.get("pc_type")
+    planar = False
+    if structured and order == 1 and pc_type != "amg":
+        from tpufem.la.gmg import gmg_viable
+        planar = (pc_type in ("jacobi", "none")
+                  or gmg_viable(mesh, 3,
+                                int(cfg.solver.get("amg_coarse_eq_limit")),
+                                int(cfg.solver.get("amg_max_levels"))))
+
     with Timer("ZZZ Assemble matrix"):
         if structured:
             from tpufem.fem.dia_op import build_operator
             A = build_operator(mesh, order, "elasticity",
-                               bc_dofs=bc.flat_dofs(), dtype=dtype)
+                               bc_dofs=bc.flat_dofs(), dtype=dtype,
+                               planar=planar)
             csr = None
         else:
             A, csr = assemble_operator(space, bc, "elasticity",
@@ -147,7 +174,9 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         nns = build_near_nullspace(space.scalar_dof_coords())
 
     u = jnp.zeros(space.ndofs, dtype=dtype)
-    solver_function = make_solver(A, csr, mesh, order, "elasticity", bc, nns,
-                                  cfg, dtype)
+    # b/u/x keep the reference's node-interleaved contract; the solver
+    # program converts to planar internally (make_solver)
+    solver_function = make_solver(A, csr, mesh, order, "elasticity", bc,
+                                  nns, cfg, dtype, planar=planar)
     return common.Problem(b=b, u=u, solver_function=solver_function,
                           space=space, bc=bc)

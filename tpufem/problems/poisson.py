@@ -97,7 +97,6 @@ def assemble_poisson_rhs_structured_dev(space: FunctionSpace, bc, dtype):
         Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
         fnz = np.flatnonzero(b_facet != 0.0)
 
-        @jax.jit
         def rhs1(mass, fidx, fvals, idx, val):
             x = jnp.arange(Nx + 1, dtype=dtype) / Nx
             y = jnp.arange(Ny + 1, dtype=dtype) / Ny
@@ -110,19 +109,22 @@ def assemble_poisson_rhs_structured_dev(space: FunctionSpace, bc, dtype):
             b = b.at[fidx].add(fvals)
             return b.at[idx].set(val)
 
-        return rhs1(mass, jnp.asarray(fnz.astype(np.int32)),
-                    jnp.asarray(b_facet[fnz].astype(nd)), bc_idx, bc_val)
+        from tpufem.aot import compile_aot
+        args = (mass, jnp.asarray(fnz.astype(np.int32)),
+                jnp.asarray(b_facet[fnz].astype(nd)), bc_idx, bc_val)
+        return compile_aot(rhs1, *args)(*args)
 
     from tpufem.fem.structured_op import StructuredOperator
     mass = StructuredOperator.build(mesh, space.order, "mass", dtype=dtype)
     f = space.interpolate(common.poisson_f)
 
-    @jax.jit
     def rhs(mass, fd, bf, idx, val):
         return (mass.apply_raw(fd) + bf).at[idx].set(val)
 
-    return rhs(mass, jnp.asarray(f.astype(nd)),
-               jnp.asarray(b_facet.astype(nd)), bc_idx, bc_val)
+    from tpufem.aot import compile_aot
+    args = (mass, jnp.asarray(f.astype(nd)),
+            jnp.asarray(b_facet.astype(nd)), bc_idx, bc_val)
+    return compile_aot(rhs, *args)(*args)
 
 
 def _facet_rhs_np(el, g: np.ndarray, cd_cells: np.ndarray,
@@ -169,11 +171,13 @@ def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
 
 
 def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
-                cfg: Config, dtype):
+                cfg: Config, dtype, planar: bool = False):
     """Shared CG-solver closure for poisson/elasticity: resolves the
     preconditioner (auto -> gmg on BoxTetMesh, amg otherwise), builds it
     inside the first solve (PETSc's PCSetUp-in-KSPSolve timing), caches
-    the jitted program."""
+    the jitted program.  ``planar``: A (and b/x) use the component-
+    planar bs=3 layout (fem.dia_op.DiaOperator.planar) — the caller
+    guarantees GMG viability, so no AMG fallback exists on this path."""
     solver = cfg.solver
     rtol = float(solver.get("ksp_rtol"))
     maxit = int(solver.get("ksp_max_it"))
@@ -197,9 +201,12 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     pc = GMG.setup(mesh, order, problem_name, bc_marker,
                                    dtype=dtype,
                                    coarse_limit=int(solver.get("amg_coarse_eq_limit")),
-                                   smoother_degree=int(solver.get("amg_smoother_degree")))
+                                   smoother_degree=int(solver.get("amg_smoother_degree")),
+                                   planar=planar)
                     precond_of = lambda A_, pc_: pc_.vcycle
                 except ValueError:
+                    if planar:
+                        raise  # caller pre-checked gmg_viable
                     # lattice dims not 2^L-divisible: geometric coarsening
                     # impossible -> fall back to algebraic multigrid
                     pc_type = "amg"
@@ -232,9 +239,18 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                 precond_of = lambda A_, _pc: None
 
             def run(A_, pc_, x0, rhs_):
-                return cg_solve(matvec_of(A_), rhs_, x0=x0,
-                                precond=precond_of(A_, pc_),
-                                rtol=rtol, maxit=maxit)
+                if planar:
+                    # interleaved contract outside, planar inside: the
+                    # conversion transposes run ONCE per solve (the
+                    # per-iteration state stays planar)
+                    x0 = x0.reshape(-1, 3).T.reshape(-1)
+                    rhs_ = rhs_.reshape(-1, 3).T.reshape(-1)
+                x_, it_, rel_ = cg_solve(matvec_of(A_), rhs_, x0=x0,
+                                         precond=precond_of(A_, pc_),
+                                         rtol=rtol, maxit=maxit)
+                if planar:
+                    x_ = x_.reshape(3, -1).T.reshape(-1)
+                return x_, it_, rel_
 
             # AOT compile: hits the persistent compilation cache; the
             # dispatch-path compiler does not (see tpufem.aot)
