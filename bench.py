@@ -5,6 +5,16 @@ Reproduces the reference's recommended weak-scaling configuration shapes
 matrix-free cgpoisson throughput metric (Gdof/s = iters * dofs / s / 1e9,
 src/cgpoisson_problem.cpp:236-242), on one chip.
 
+Cold-vs-warm reporting: ``*_solve_first_s`` is the COLD wall of the
+first blocking solve call — preconditioner setup + client AOT compile +
+the axon terminal's server-side program compile (the terminal compiles
+lazily at first execution and its wall varies minutes-scale for
+identical programs; the client-side persistent cache at .jax_cache
+covers only the client step).  ``*_solve_s`` is the warm solve,
+amortized over pipelined perturbed-RHS repetitions so the ~25-30 ms
+tunnel dispatch round trip washes out.  ``*_pc_setup_s`` is the host
+preconditioner construction alone (the PETSc PCSetUp analogue).
+
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
    "extra": {...}}
@@ -31,6 +41,22 @@ def log(msg: str) -> None:
 
 
 _T0 = time.perf_counter()
+REPS = 10
+
+
+def timed_solves(prob, reps: int = REPS, passes: int = 2) -> float:
+    """Amortized warm solve seconds (min over passes of pipelined
+    perturbed-RHS repetitions)."""
+    import jax
+    best = 1e30
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        outs = [prob.solver_function.solve_async(
+            prob.u, prob.b * (1.0 + 1e-6 * (i + 1)))[0]
+            for i in range(reps)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
 
 
 def main() -> None:
@@ -52,6 +78,7 @@ def main() -> None:
     from tpufem.mesh import BoxTetMesh
     from tpufem.mesh.structured import compute_box_size_structured
     from tpufem.problems import cgpoisson, poisson
+    from tpufem.problems.poisson import make_solver
     from tpufem.timing import REGISTRY
 
     # ---- 1. Poisson P1, 500k dofs, CG + geometric multigrid, rtol 1e-8 ----
@@ -63,7 +90,7 @@ def main() -> None:
     nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 1, 1, 1)
     mesh = BoxTetMesh(nx, ny, nz)
 
-    # warm build: first-touch XLA compiles (RHS assembly program) land
+    # warm build: first-touch XLA compiles (RHS assembly programs) land
     # here, NOT in the timed assemble — the reference's kernels are
     # AOT-compiled at build time (ffcx/C++), so including JIT compilation
     # in the assemble stage would not be apples-to-apples.  The warm
@@ -81,35 +108,19 @@ def main() -> None:
     assemble_s = time.perf_counter() - t0
     for name, reps, tot in REGISTRY.rows():
         log(f"  stage {name}: {tot:.2f}s")
-    log(f"assembled in {assemble_s:.2f}s; first solve (AMG setup + compile)")
+    log(f"assembled in {assemble_s:.2f}s; first solve (PC setup + compile)")
 
-    # first call = AMG setup + compile; second = pure solve
+    # first call = PC setup + AOT compile + terminal compile; then warm
     t0 = time.perf_counter()
     with contextlib.redirect_stdout(sys.stderr):
         x, it = prob.solver_function(prob.u, prob.b)
         jax.block_until_ready(x)
     solve_first_s = time.perf_counter() - t0
-    log(f"first solve {solve_first_s:.2f}s ({it} iters); timing cached solve")
-    t0 = time.perf_counter()
-    with contextlib.redirect_stdout(sys.stderr):
-        x, it = prob.solver_function(prob.u, prob.b)
-        jax.block_until_ready(x)
-    solve_s = time.perf_counter() - t0
-    log(f"solve {solve_s:.3f}s, {it} iterations")
-    # single-dispatch wall time includes the TPU-tunnel round trip of this
-    # environment (~25-30 ms/dispatch); amortize it by pipelining several
-    # solves (each with a perturbed RHS so nothing can be deduplicated)
-    REPS = 10
-    solve_amortized_s = 1e30
-    for _pass in range(2):  # two passes; the tunnel occasionally stalls
-        t0 = time.perf_counter()
-        outs = [prob.solver_function.solve_async(
-            prob.u, prob.b * (1.0 + 1e-6 * (i + 1)))[0] for i in range(REPS)]
-        jax.block_until_ready(outs)
-        solve_amortized_s = min(solve_amortized_s,
-                                (time.perf_counter() - t0) / REPS)
-    log(f"solve amortized over {REPS}: {solve_amortized_s:.3f}s")
-    solve_s = min(solve_s, solve_amortized_s)
+    pc_setup_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
+    log(f"first solve {solve_first_s:.2f}s (PC setup {pc_setup_s:.2f}s, "
+        f"{it} iters); timing warm solve")
+    solve_s = timed_solves(prob)
+    log(f"warm solve {solve_s:.4f}s")
 
     ndofs = prob.space.ndofs
     total_s = assemble_s + solve_s
@@ -118,29 +129,32 @@ def main() -> None:
         "poisson_p1_assemble_s": round(assemble_s, 4),
         "poisson_p1_solve_s": round(solve_s, 4),
         "poisson_p1_solve_first_s": round(solve_first_s, 4),
+        "poisson_p1_pc_setup_s": round(pc_setup_s, 4),
         "poisson_p1_iterations": it,
         "poisson_p1_dofs_per_s": round(ndofs / total_s, 1),
     })
 
-    # ---- 2. matrix-free cgpoisson P2, 500k dofs, Gdof/s --------------------
-    cfg2 = Config(problem_type="cgpoisson", ndofs=NDOFS,
-                  scaling_type="strong", dtype="float32",
-                  solver=SolverOptions())
-    nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 1, 2, 1)
-    mesh2 = BoxTetMesh(nx, ny, nz)
-    log("cgpoisson P2: building problem")
-    with contextlib.redirect_stdout(sys.stderr):
-        prob2 = cgpoisson.problem(mesh2, 2, cfg2)
-        x2, it2 = prob2.solver_function(prob2.u, prob2.b)
-    log(f"cgpoisson P2 done: {getattr(cgpoisson.problem, '_last_gdofs', 0):.3f} Gdof/s")
-    gdofs = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
-    extra.update({
-        "cgpoisson_p2_ndofs": prob2.space.ndofs,
-        "cgpoisson_p2_iterations": it2,
-        "cgpoisson_p2_gdof_per_s": round(gdofs, 3),
-        "cgpoisson_p2_solve_s": round(
-            getattr(cgpoisson.problem, "_last_solve_s", 0.0), 4),
-    })
+    # ---- 2. matrix-free cgpoisson P2/P3, 500k dofs, Gdof/s ----------------
+    for order, key in ((2, "cgpoisson_p2"), (3, "cgpoisson_p3")):
+        cfg2 = Config(problem_type="cgpoisson", ndofs=NDOFS,
+                      scaling_type="strong", dtype="float32",
+                      solver=SolverOptions())
+        nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 1,
+                                                      order, 1)
+        mesh2 = BoxTetMesh(nx, ny, nz)
+        log(f"cgpoisson P{order}: building problem")
+        with contextlib.redirect_stdout(sys.stderr):
+            prob2 = cgpoisson.problem(mesh2, order, cfg2)
+            x2, it2 = prob2.solver_function(prob2.u, prob2.b)
+        gdofs = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
+        log(f"cgpoisson P{order} done: {gdofs:.3f} Gdof/s")
+        extra.update({
+            f"{key}_ndofs": prob2.space.ndofs,
+            f"{key}_iterations": it2,
+            f"{key}_gdof_per_s": round(gdofs, 3),
+            f"{key}_solve_s": round(
+                getattr(cgpoisson.problem, "_last_solve_s", 0.0), 4),
+        })
 
     # ---- 3. matrix-free cgpoisson P1, 2M dofs (BASELINE.md config) --------
     nx, ny, nz, _lv = compute_box_size_structured(2_000_000, True, 1, 1, 1)
@@ -180,59 +194,60 @@ def main() -> None:
         x4, it4 = prob4.solver_function(prob4.u, prob4.b)
         jax.block_until_ready(x4)
     first4_s = time.perf_counter() - t0
-    solve4_s = 1e30
-    for _pass in range(2):  # two passes; the tunnel occasionally stalls
-        t0 = time.perf_counter()
-        outs = [prob4.solver_function.solve_async(
-            prob4.u, prob4.b * (1.0 + 1e-6 * (i + 1)))[0] for i in range(REPS)]
-        jax.block_until_ready(outs)
-        solve4_s = min(solve4_s, (time.perf_counter() - t0) / REPS)
+    pc4_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
+    solve4_s = timed_solves(prob4)
     log(f"elasticity P1 500k: assemble {assemble4_s:.2f}s, first solve "
-        f"{first4_s:.1f}s, solve {solve4_s:.3f}s, {it4} iterations")
+        f"{first4_s:.1f}s (PC setup {pc4_s:.2f}s), warm solve "
+        f"{solve4_s:.4f}s, {it4} iterations")
     extra.update({
         "elasticity_p1_ndofs": prob4.space.ndofs,
         "elasticity_p1_assemble_s": round(assemble4_s, 4),
         "elasticity_p1_solve_s": round(solve4_s, 4),
+        "elasticity_p1_solve_first_s": round(first4_s, 4),
+        "elasticity_p1_pc_setup_s": round(pc4_s, 4),
         "elasticity_p1_iterations": it4,
         "elasticity_p1_dofs_per_s": round(
             prob4.space.ndofs / (assemble4_s + solve4_s), 1),
     })
 
-    # ---- 5. SA-AMG at scale: AMG-forced cube Poisson, ~216k dofs -----------
-    cfg5 = Config(problem_type="poisson", ndofs=216_000,
-                  scaling_type="strong", dtype="float32",
-                  solver=SolverOptions(pc_type="amg", ksp_rtol=1e-8,
-                                       ksp_max_it=100))
-    mesh5 = BoxTetMesh(60, 60, 60)
-    log("poisson + SA-AMG 226k: warm build")
-    with contextlib.redirect_stdout(sys.stderr):
-        poisson.problem(mesh5, 1, cfg5)
-    log("poisson + SA-AMG 226k: timed build")
-    t0 = time.perf_counter()
-    with contextlib.redirect_stdout(sys.stderr):
-        prob5 = poisson.problem(mesh5, 1, cfg5)
-    assemble5_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    with contextlib.redirect_stdout(sys.stderr):
-        x5, it5 = prob5.solver_function(prob5.u, prob5.b)  # AMG setup+compile
-        jax.block_until_ready(x5)
-    setup5_s = time.perf_counter() - t0
-    solve5_s = 1e30
-    for _pass in range(2):
+    # ---- 5. SA-AMG: AMG-forced cube Poisson at 227k and 500k ---------------
+    for ndofs_amg, dims, key in ((216_000, (60, 60, 60), "poisson_amg"),
+                                 (500_000, None, "poisson_amg_500k")):
+        cfg5 = Config(problem_type="poisson", ndofs=ndofs_amg,
+                      scaling_type="strong", dtype="float32",
+                      solver=SolverOptions(pc_type="amg", ksp_rtol=1e-8,
+                                           ksp_max_it=100))
+        if dims is None:
+            nx, ny, nz, _lv = compute_box_size_structured(
+                ndofs_amg, True, 1, 1, 1)
+            dims = (nx, ny, nz)
+        mesh5 = BoxTetMesh(*dims)
+        log(f"poisson + SA-AMG {key}: warm build")
+        with contextlib.redirect_stdout(sys.stderr):
+            poisson.problem(mesh5, 1, cfg5)
+        log(f"poisson + SA-AMG {key}: timed build")
         t0 = time.perf_counter()
-        outs = [prob5.solver_function.solve_async(
-            prob5.u, prob5.b * (1.0 + 1e-6 * (i + 1)))[0] for i in range(REPS)]
-        jax.block_until_ready(outs)
-        solve5_s = min(solve5_s, (time.perf_counter() - t0) / REPS)
-    log(f"SA-AMG 226k: assemble {assemble5_s:.2f}s, setup+compile "
-        f"{setup5_s:.1f}s, solve {solve5_s:.3f}s, {it5} iterations")
-    extra.update({
-        "poisson_amg_ndofs": prob5.space.ndofs,
-        "poisson_amg_assemble_s": round(assemble5_s, 4),
-        "poisson_amg_setup_first_s": round(setup5_s, 4),
-        "poisson_amg_solve_s": round(solve5_s, 4),
-        "poisson_amg_iterations": it5,
-    })
+        with contextlib.redirect_stdout(sys.stderr):
+            prob5 = poisson.problem(mesh5, 1, cfg5)
+        assemble5_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(sys.stderr):
+            x5, it5 = prob5.solver_function(prob5.u, prob5.b)
+            jax.block_until_ready(x5)
+        first5_s = time.perf_counter() - t0
+        setup5_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
+        solve5_s = timed_solves(prob5)
+        log(f"SA-AMG {key}: assemble {assemble5_s:.2f}s, host AMG setup "
+            f"{setup5_s:.2f}s (first solve incl. compile {first5_s:.1f}s), "
+            f"warm solve {solve5_s:.4f}s, {it5} iterations")
+        extra.update({
+            f"{key}_ndofs": prob5.space.ndofs,
+            f"{key}_assemble_s": round(assemble5_s, 4),
+            f"{key}_setup_host_s": round(setup5_s, 4),
+            f"{key}_solve_first_s": round(first5_s, 4),
+            f"{key}_solve_s": round(solve5_s, 4),
+            f"{key}_iterations": it5,
+        })
 
     value = round(ndofs / total_s, 1)
     vs = 1.0

@@ -103,7 +103,16 @@ def solve(cfg: Config) -> Tuple[int, float]:
     if cfg.dtype in ("float64", "mixed"):
         jax.config.update("jax_enable_x64", True)
 
-    logger = init_logging(rank=0)
+    # multi-process runtime (the MPI_Init analogue, reference
+    # main.cpp:246): joins the jax.distributed cluster when coordinator
+    # env vars are set; single-process otherwise.  Under multiple
+    # processes jax.devices() below is the GLOBAL device list and the
+    # sharded setup paths build only per-host-local data
+    # (tpufem.parallel.multihost).
+    from tpufem.parallel.multihost import init_from_env
+    proc_id, proc_count = init_from_env()
+
+    logger = init_logging(rank=proc_id)
     num_shards = cfg.num_shards or len(jax.devices())
 
     # multi-shard execution: slab-sharded SPMD on the cube path — P1
@@ -190,6 +199,7 @@ def solve(cfg: Config) -> Tuple[int, float]:
     print(f"  dtype:           {cfg.dtype}")
     print(f"  Problem type:    {cfg.problem_type}")
     print(f"  Scaling type:    {cfg.scaling_type}")
+    print(f"  Num processes:   {proc_count}")
     print(f"  Num shards:      {num_shards}")
     print(f"  Num cells:       {num_cells}{int64_to_human(num_cells)}")
     print(f"  Total degrees of freedom:               "

@@ -53,6 +53,9 @@ class SolverOptions:
     amg_dense_level_limit: int = 16384   # levels at/below this size run
     # dense MXU matvecs (random ELL gathers measured ~7 cycles/element on
     # v5e; a 15k dense f32 matmul is ~6x faster than the K=60 ELL SpMV)
+    amg_filter_k: int = 4                # keep k largest P entries/row, lump
+    # the rest into the survivors (transfer gathers are the TPU V-cycle
+    # bottleneck; the -pc_gamg_threshold filtering analogue)
     amg_jacobi_omega: float = 0.6667
     amg_prolongator_damping: float = 1.3333  # omega/rho(D^-1 A) Jacobi smoothing of P
     # extras (audited if unused)

@@ -230,14 +230,58 @@ def tentative_prolongator(agg: np.ndarray, nagg: int, B: np.ndarray,
 
 
 def smooth_prolongator(A: sp.csr_matrix, P0: sp.csr_matrix,
-                       damping: float, lmax: float) -> sp.csr_matrix:
+                       damping: float, lmax: float,
+                       filter_k: int = 0) -> sp.csr_matrix:
     """P = (I - omega D^-1 A) P0 with omega = damping / lmax(D^-1 A)
-    (classic SA Jacobi prolongator smoothing)."""
+    (classic SA Jacobi prolongator smoothing).
+
+    ``filter_k > 0`` keeps only the k largest-magnitude entries per row
+    and LUMPS the dropped mass by rescaling the survivors to the
+    original row sum (preserves interpolation of constants).  TPU
+    rationale: transfer matvecs are random-gather bound (~7 cycles per
+    element on v5e); the full smoothed P carries ~11 entries/row whose
+    tail adds almost nothing — measured iteration counts at 69k dofs:
+    k=11: 15, k=6: 15, k=4: 16, k=3: 18.  The PETSc-GAMG analogue knob
+    is -pc_gamg_threshold row filtering."""
     d = A.diagonal()
     dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
     omega = damping / lmax
     DinvA = sp.diags(dinv) @ A
-    return (P0 - omega * (DinvA @ P0)).tocsr()
+    P = (P0 - omega * (DinvA @ P0)).tocsr()
+    if filter_k <= 0:
+        return P
+    return _filter_rows_topk(P, filter_k)
+
+
+def _filter_rows_topk(P: sp.csr_matrix, k: int) -> sp.csr_matrix:
+    """Keep the k largest-|.| entries per row, rescaling survivors to
+    the original row sum (vectorized; no-op when rows already fit)."""
+    nnz = np.diff(P.indptr)
+    maxk = int(nnz.max()) if nnz.size else 0
+    if maxk <= k:
+        return P
+    n = P.shape[0]
+    cols = np.zeros((n, maxk), dtype=np.int64)
+    vals = np.zeros((n, maxk))
+    rows = np.repeat(np.arange(n), nnz)
+    pos = np.arange(P.indices.size) - np.repeat(P.indptr[:-1], nnz)
+    cols[rows, pos] = P.indices
+    vals[rows, pos] = P.data
+    order = np.argsort(-np.abs(vals), axis=1)[:, :k]
+    vk = np.take_along_axis(vals, order, axis=1)
+    ck = np.take_along_axis(cols, order, axis=1)
+    tot = vals.sum(axis=1)
+    sk = vk.sum(axis=1)
+    # lump dropped mass into the survivors (guarded against
+    # near-cancelling rows where rescaling would amplify)
+    safe = np.abs(sk) > 0.1 * np.abs(tot)
+    scale = np.where(safe, tot / np.where(sk == 0.0, 1.0, sk), 1.0)
+    vk = vk * scale[:, None]
+    keep = vk != 0.0
+    out_rows = np.repeat(np.arange(n), k)[keep.reshape(-1)]
+    return sp.coo_matrix((vk.reshape(-1)[keep.reshape(-1)],
+                          (out_rows, ck.reshape(-1)[keep.reshape(-1)])),
+                         shape=P.shape).tocsr()
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +294,14 @@ def smooth_prolongator(A: sp.csr_matrix, P0: sp.csr_matrix,
 class DenseMat:
     """Dense operator for SMALL coarse levels: one MXU matmul replaces a
     gather-bound ELL SpMV (random gathers measured ~7 cycles/element on
-    v5e — a 15k-row K=60 ELL matvec costs ~7 ms vs ~1 ms dense)."""
+    v5e — a 15k-row K=60 ELL matvec costs ~7 ms vs ~1 ms dense).
+
+    When the solve dtype is f32, the matrix is STORED bf16 with f32
+    accumulation: the matvec is bandwidth-bound on the matrix bytes, so
+    this halves its cost.  The operator stays a fixed symmetric linear
+    map (bf16 rounding is entrywise), which is all a Chebyshev-smoothed
+    V-cycle level needs — the CG convergence criterion still runs on
+    the full-precision fine residual."""
 
     M: jnp.ndarray
 
@@ -262,6 +313,10 @@ class DenseMat:
         return cls(*children)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.M.dtype == jnp.bfloat16:
+            y = jnp.matmul(self.M, x.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            return y.astype(x.dtype)
         return jnp.matmul(self.M, x, precision=jax.lax.Precision.HIGHEST)
 
 
@@ -320,6 +375,7 @@ class SAAMG:
         damping = float(options.get("amg_prolongator_damping"))
         degree = int(options.get("amg_smoother_degree"))
         dense_limit = int(options.get("amg_dense_level_limit", 16384))
+        filter_k = int(options.get("amg_filter_k", 4))
 
         if near_nullspace is None:
             B = np.ones((n, 1))
@@ -344,7 +400,8 @@ class SAAMG:
             P0, Bc = tentative_prolongator(agg, nagg, B, lvl_bs)
             if P0.shape[1] == 0 or P0.shape[1] >= Al.shape[0]:
                 break  # no useful coarsening possible
-            P = smooth_prolongator(Al, P0, damping, lmax)
+            P = smooth_prolongator(Al, P0, damping, lmax,
+                                   filter_k=filter_k)
             Ac = (P.T @ Al @ P).tocsr()
             Ac.sum_duplicates()
             # inert coarse dofs (rank-deficient aggregates): unit diagonal
@@ -361,16 +418,23 @@ class SAAMG:
             # f32 = 1 GiB on device + a f64 host transient); cap the
             # dense form by bytes and log the conversion
             nrows = Al.shape[0]
-            dense_bytes = nrows * nrows * np.dtype(dtype).itemsize
+            store_item = 2 if np.dtype(dtype) == np.float32 else \
+                np.dtype(dtype).itemsize  # f32 levels store bf16
+            dense_bytes = nrows * nrows * store_item
             use_dense = (nrows <= dense_limit
-                         and dense_bytes <= 512 * 1024 * 1024)
+                         and dense_bytes <= 1536 * 1024 * 1024)
             if use_dense:
                 import logging
                 logging.getLogger("tpufem").info(
                     "AMG level %d (%d rows) densified for MXU matvecs "
                     "(%.1f MiB device)", len(levels) + 1, nrows,
                     dense_bytes / 2**20)
-            A_dev = (DenseMat(jnp.asarray(Al.toarray(), dtype=dtype))
+            # densify via a narrow dtype (a float64 toarray transient at
+            # 16k rows would cost 2 GiB host RAM); f32 solves store the
+            # level bf16 (see DenseMat)
+            ddt = jnp.bfloat16 if np.dtype(dtype) == np.float32 else dtype
+            A_dev = (DenseMat(jnp.asarray(
+                         Al.astype(np.float32).toarray(), dtype=ddt))
                      if use_dense
                      else csr_to_ell(Al.indptr, Al.indices, Al.data,
                                      dtype=dtype))

@@ -273,6 +273,149 @@ class ShardedCubeSolver:
         sol._ndofs_global = (FunctionSpace(mesh, order, bs=bs).ndofs)
         return sol
 
+    @classmethod
+    def build_per_host(cls, mesh: BoxTetMesh, nshards: int,
+                       problem: str = "poisson", dtype=jnp.float32,
+                       rtol: float = 1e-8, maxit: int = 100,
+                       precond: bool = True, coarse_limit: int = 1000,
+                       smoother_degree: int = 2, max_levels: int = 12,
+                       gather_limit: int = 100_000) -> "ShardedCubeSolver":
+        """Multi-process (multi-host) construction — P1.
+
+        Identical solver to :meth:`build`, but every [S, nloc] array is
+        materialized through ``multihost.make_sharded_rows``: the
+        builder callbacks run ONLY for the shards this process
+        addresses, and each derives its shard's data from SLAB-LOCAL
+        constructions (translation-invariant diagonal, z-independent BC
+        markers, partial RHS + one interface halo) — no process ever
+        holds a global array.  This is the reference's per-node setup
+        split (MPI_Comm_split_type subcommunicator, src/mesh.cpp:164-180)
+        in TPU form; the replicated coarse suffix is built once per
+        host, like the reference's node-leader partitioning."""
+        from tpufem.fem.dirichlet import DirichletBC
+        from tpufem.fem.space import FunctionSpace
+        from tpufem.fem.structured_op import grid_layout
+        from tpufem.parallel.multihost import (make_sharded_rows,
+                                               shard_devices)
+        from tpufem.problems import common
+
+        bs = 3 if problem == "elasticity" else 1
+        marker = (common.elasticity_bc_marker if problem == "elasticity"
+                  else common.poisson_bc_marker)
+        S = nshards
+        if mesh.Nz % S:
+            raise ValueError(f"Nz={mesh.Nz} not divisible by {S} shards")
+
+        chain = _level_chain(mesh, bs, coarse_limit, max_levels)
+        if precond:
+            K = 0
+            while (K + 1 < len(chain)
+                   and chain[K][2] % S == 0 and (chain[K][2] // S) % 2 == 0
+                   and (K == 0
+                        or (chain[K][0] + 1) * (chain[K][1] + 1)
+                           * (chain[K][2] + 1) * bs > gather_limit)):
+                K += 1
+            if K == 0:
+                raise ValueError("cannot shard with multigrid")
+            lmax = surrogate_lmax(mesh, 1, problem, marker, dtype)
+        else:
+            K = 1
+            lmax = 1.0
+
+        devices = shard_devices(S)
+        dt = np.dtype(dtype)
+        levels: List[_Level] = []
+        for i in range(K):
+            nx, ny, nz = chain[i]
+            nzl = nz // S
+            slab = BoxTetMesh(nx, ny, nzl)
+            op = DiaOperator.build(slab, 1, problem, dtype=dtype,
+                                   h_override=(1.0 / nx, 1.0 / ny, 1.0 / nz),
+                                   bake_bc=False)
+            m = (nx + 1) * (ny + 1) * bs
+            d_slab = op.diagonal_np().reshape(nzl + 1, m)
+            lspace = FunctionSpace(slab, 1, bs=bs)
+            lbc = DirichletBC.from_space(
+                lspace, slab.locate_boundary_facets(marker))
+            lmask = np.zeros(lspace.ndofs, dtype=bool)
+            lmask[lbc.flat_dofs()] = True
+            nloc = (nzl + 1) * m
+
+            def dinv_row(s, ds=d_slab, z=nzl):
+                return _slab_dinv_row(ds, s, S, z).reshape(-1).astype(dt)
+
+            levels.append(_Level(
+                op=op,
+                dinv=make_sharded_rows(S, (nloc,), dt, dinv_row, devices),
+                bc=make_sharded_rows(S, (nloc,), np.bool_,
+                                     lambda s, mm=lmask: mm, devices),
+                dims=chain[i], nzl=nzl, lmax=lmax, order=1,
+                iface=iface_plan(grid_layout(slab, 1), nzl, bs)))
+
+        suffix = None
+        if precond:
+            suffix = GMG.setup(BoxTetMesh(*chain[K]), 1, problem, marker,
+                               dtype=dtype, coarse_limit=coarse_limit,
+                               smoother_degree=smoother_degree,
+                               max_levels=max_levels - K)
+
+        nzl0 = chain[0][2] // S
+        nloc0 = (nzl0 + 1) * (chain[0][0] + 1) * (chain[0][1] + 1) * bs
+        b_arr = make_sharded_rows(
+            S, (nloc0,), dt,
+            lambda s: _slab_partial_rhs(mesh, problem, s, S,
+                                        nzl0).astype(dt), devices)
+
+        def owned_row(s):
+            o = np.ones(nloc0, dtype=bool)
+            if s > 0:
+                for (b0, _t, mm) in levels[0].iface:
+                    o[b0: b0 + mm] = False
+            return o
+
+        owned = make_sharded_rows(S, (nloc0,), np.bool_, owned_row, devices)
+
+        mesh_axis = Mesh(np.array(devices), ("shard",))
+        # accumulate interface partials onto owners, zero BC rows,
+        # refresh ghosts: ONE tiny SPMD program at build time
+        plan0 = levels[0].iface
+        down = [(s, s - 1) for s in range(1, S)]
+        up = [(s, s + 1) for s in range(S - 1)]
+
+        def fix_b(b, bcm):
+            y, bm = b[0], bcm[0]
+            segs = [y[b0: b0 + mm] for (b0, _t, mm) in plan0]
+            buf = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+            recv = jax.lax.ppermute(buf, "shard", down)
+            off = 0
+            for (b0, t, mm) in plan0:
+                y = y.at[t: t + mm].add(recv[off: off + mm])
+                off += mm
+            y = jnp.where(bm, 0.0, y)
+            segs = [y[t: t + mm] for (_b, t, mm) in plan0]
+            buf = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+            recv = jax.lax.ppermute(buf, "shard", up)
+            is_first = jax.lax.axis_index("shard") == 0
+            off = 0
+            for (b0, _t, mm) in plan0:
+                y = y.at[b0: b0 + mm].set(
+                    jnp.where(is_first, y[b0: b0 + mm],
+                              recv[off: off + mm]))
+                off += mm
+            return y[None]
+
+        b_fixed = jax.jit(jax.shard_map(
+            fix_b, mesh=mesh_axis, in_specs=(P("shard"), P("shard")),
+            out_specs=P("shard")))(b_arr, levels[0].bc)
+
+        sol = cls(levels=levels, suffix=suffix, b_local=b_fixed,
+                  owned=owned, bs=bs, S=S, mesh_axis=mesh_axis,
+                  rtol=rtol, maxit=maxit,
+                  smoother_degree=smoother_degree)
+        sol._ids0, _ = slab_global_ids(mesh, 1, nzl0, S, bs)
+        sol._ndofs_global = FunctionSpace(mesh, 1, bs=bs).ndofs
+        return sol
+
     # -- the jitted SPMD program ------------------------------------------------
     def _build_program(self):
         S = self.S
@@ -475,3 +618,97 @@ def _default_rhs(mesh: BoxTetMesh, problem: str, bs: int,
         return assemble_elasticity_rhs_np(space)
     from tpufem.problems.poisson import assemble_poisson_rhs_np
     return assemble_poisson_rhs_np(space)
+
+
+# ---------------------------------------------------------------------------
+# Per-host (multi-process) builders — P1.  Every quantity below is
+# computed from SLAB-LOCAL data only (no global arrays), so under
+# jax.make_array_from_callback each process materializes nothing beyond
+# the shards it addresses (the reference's node-level subcommunicator
+# setup split, src/mesh.cpp:164-180).
+# ---------------------------------------------------------------------------
+
+
+def _slab_dinv_row(d_slab: np.ndarray, s: int, S: int, nzl: int) -> np.ndarray:
+    """Shard s's [nzl+1, m] inverse-diagonal slab from ONE slab
+    operator's raw diagonal: the stencil diagonal is z-translation-
+    invariant, so interior planes repeat, global z-end planes keep the
+    truncated value, and interface planes sum both halves."""
+    g = d_slab.copy()
+    if s > 0:
+        g[0] = d_slab[0] + d_slab[nzl]
+    if s < S - 1:
+        g[nzl] = d_slab[0] + d_slab[nzl]
+    return 1.0 / g
+
+
+def _slab_partial_rhs(mesh: BoxTetMesh, problem: str, s: int, S: int,
+                      nzl: int) -> np.ndarray:
+    """Shard s's PARTIAL P1 RHS (volume term over the slab's own cells
+    + surface term over the slab faces that lie on the GLOBAL boundary;
+    interface-plane contributions stay partial and are accumulated by
+    one reverse/forward halo at build)."""
+    from tpufem.fem.structured_op import StructuredOperator
+    Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
+    slab = BoxTetMesh(Nx, Ny, nzl)
+    x = np.arange(Nx + 1) / Nx
+    y = np.arange(Ny + 1) / Ny
+    z = (s * nzl + np.arange(nzl + 1)) / Nz
+    from tpufem.problems import common
+    if problem == "elasticity":
+        comps = common.elasticity_f_components(
+            x[None, None, :], y[None, :, None], z[:, None, None])
+        f = np.stack([np.broadcast_to(c, (nzl + 1, Ny + 1, Nx + 1))
+                      for c in comps], axis=-1).reshape(-1)
+        bs = 3
+    else:
+        f2d = common.poisson_f_xy(x[None, :], y[:, None])
+        f = np.broadcast_to(f2d, (nzl + 1, Ny + 1, Nx + 1)).reshape(-1)
+        bs = 1
+    import jax.numpy as jnp
+    mass = StructuredOperator.build(slab, 1, "mass", dtype=jnp.float64,
+                                    device=False)
+    # anisotropy: physical cube size is the GLOBAL h, not the slab's
+    from tpufem.fem.structured_op import perm_element_matrices
+    mass.Ap = perm_element_matrices(slab, 1, "mass",
+                                    h_override=(1.0 / Nx, 1.0 / Ny,
+                                                1.0 / Nz))
+    if bs == 3:
+        fr = f.reshape(-1, 3)
+        b = np.stack([mass.apply_raw_np(fr[:, r]) for r in range(3)],
+                     axis=-1).reshape(-1)
+        return b
+    b = mass.apply_raw_np(f)
+    # Poisson surface term g = sin(5 x0) over global-boundary faces of
+    # the slab (x/y faces always; z faces only at the global ends)
+    from tpufem.fem.space import FunctionSpace
+    from tpufem.fem.structured_op import dof_gids_for_cells
+    from tpufem.mesh.structured import CELL_VERTEX_OFFSETS, LOCAL_FACES
+    space = FunctionSpace(slab, 1)
+    facets = slab.boundary_faces()
+    cubes, perms, lf = slab.boundary_facet_cells(facets)
+    cd_cells = dof_gids_for_cells(slab, 1, cubes, perms)
+    h = np.array([1.0 / Nx, 1.0 / Ny, 1.0 / Nz])
+    verts = (cubes[:, None, :] + CELL_VERTEX_OFFSETS[perms]).astype(
+        np.float64)
+    verts[:, :, 2] += s * nzl
+    verts = verts * h
+    tri = np.take_along_axis(verts, LOCAL_FACES[lf][:, :, None], axis=1)
+    # keep only faces on the GLOBAL boundary: z-interface planes of the
+    # slab are interior to the global cube (their facet integral belongs
+    # to no one)
+    lo = s * nzl / Nz
+    hi = (s + 1) * nzl / Nz
+    keep = np.ones(len(lf), dtype=bool)
+    if s > 0:
+        keep &= ~(np.abs(tri[:, :, 2] - lo) < 1e-12).all(axis=1)
+    if s < S - 1:
+        keep &= ~(np.abs(tri[:, :, 2] - hi) < 1e-12).all(axis=1)
+    # dof coords in GLOBAL space: slab-normalized z -> (s*nzl + k)/Nz
+    coords = space.scalar_dof_coords().copy()
+    coords[:, 2] = (coords[:, 2] * nzl + s * nzl) / Nz
+    gdof = common.poisson_g(coords)
+    from tpufem.problems.poisson import _facet_rhs_np
+    b += _facet_rhs_np(space.element, gdof, cd_cells[keep], tri[keep],
+                       lf[keep], space.ndofs_scalar)
+    return b

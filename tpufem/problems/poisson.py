@@ -193,6 +193,10 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
         if pc_type == "auto":
             pc_type = "gmg" if structured else "amg"
         if "run" not in cache:
+            # "ZZZ PC setup" mirrors PETSc's PCSetUp inside the first
+            # KSPSolve (reference poisson_problem.cpp:164-179); program
+            # compilation is timed separately by the caller
+            pc_timer = Timer("ZZZ PC setup").start()
             if pc_type == "gmg":
                 if not structured:
                     raise ValueError("gmg requires a structured cube mesh")
@@ -252,6 +256,7 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     x_ = x_.reshape(3, -1).T.reshape(-1)
                 return x_, it_, rel_
 
+            make_solver._last_pc_setup_s = pc_timer.stop()
             # AOT compile: hits the persistent compilation cache; the
             # dispatch-path compiler does not (see tpufem.aot)
             from tpufem.aot import compile_aot

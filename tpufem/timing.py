@@ -59,9 +59,19 @@ class TimingRegistry:
         lines = [
             f"{'Summary':<{name_w}}{'reps':>6}  {'wall avg':>12}  {'wall tot':>12}",
         ]
+        has_solve = False
         for name, reps, tot in self.rows():
             avg = tot / max(reps, 1)
             lines.append(f"{name:<{name_w}}{reps:>6}  {avg:>12.6f}  {tot:>12.6f}")
+            has_solve = has_solve or name == "ZZZ Solve"
+        if has_solve:
+            # stage-semantics note (reference: "ZZZ Solve" includes
+            # PCSetUp on the first KSPSolve, poisson_problem.cpp:164-179;
+            # here it additionally includes one-time XLA compilation,
+            # which the reference pays at build time via ffcx/C++)
+            lines.append("(ZZZ Solve includes preconditioner setup — see "
+                         "'ZZZ PC setup' — and, on a cold cache, one-time "
+                         "XLA program compilation)")
         return "\n".join(lines)
 
 
