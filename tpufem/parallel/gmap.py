@@ -1,6 +1,6 @@
 """General owned/ghost index maps for ARBITRARY shard neighbor graphs.
 
-Generalization of the slab-only ``tpufem.parallel.indexmap`` to the
+Generalization of the slab path's plane-contiguous exchange to the
 unstructured (spoke-mesh) decomposition, where a shard's ghosts may be
 owned by any other shard (reference: ``dolfinx::common::IndexMap`` over
 a graph-partitioned mesh, src/mesh.cpp:153-186, and the
