@@ -67,21 +67,23 @@ def test_sharded_gmg_matches_single_device(dims, S, problem, expect_K):
     assert err < 1e-10
 
 
-@pytest.mark.parametrize("dims,S", [((8, 8, 16), 4), ((10, 8, 12), 2)])
-def test_sharded_p2_gmg_matches_single_device(dims, S):
-    """Distributed P2 cube GMG (p-transfer level sharded over z-slabs)
-    must match the single-device order-2 GMG exactly — iteration counts
-    EQUAL, solutions to rounding.  Reference runs order 3 on 2 ranks in
-    CI (ccpp.yml:86-101)."""
+@pytest.mark.parametrize("dims,S,order", [
+    ((8, 8, 16), 4, 2), ((10, 8, 12), 2, 2), ((8, 8, 16), 2, 3)])
+def test_sharded_pk_gmg_matches_single_device(dims, S, order):
+    """Distributed P2/P3 cube GMG (p-transfer level sharded over
+    z-slabs) must match the single-device order-k GMG exactly —
+    iteration counts EQUAL, solutions to rounding.  Reference runs
+    order 3 on 2 ranks in CI (ccpp.yml:86-101)."""
     mesh = BoxTetMesh(*dims)
-    sh = ShardedCubeSolver.build(mesh, S, problem="poisson", order=2,
+    sh = ShardedCubeSolver.build(mesh, S, problem="poisson", order=order,
                                  dtype=jnp.float64, rtol=1e-8, maxit=60,
                                  gather_limit=500)
-    assert sh.levels[0].order == 2 and sh.levels[1].order == 1
-    # P2 interface plan covers vertex + the three in-plane edge kinds
-    assert len(sh.levels[0].iface) == 4
+    assert sh.levels[0].order == order and sh.levels[1].order == 1
+    # interface plan covers vertex + in-plane edge kinds (+ in-plane
+    # face kinds for P3): every dof kind whose grid spans the z planes
+    assert len(sh.levels[0].iface) == {2: 4, 3: 6}[order]
     xs, its, rels = sh.solve()
-    x1, it1, rel1 = _single_device(mesh, "poisson", order=2)
+    x1, it1, rel1 = _single_device(mesh, "poisson", order=order)
     assert its == it1
     assert rels < 1e-8
     err = np.abs(xs - x1).max() / np.abs(x1).max()

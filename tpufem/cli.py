@@ -116,14 +116,14 @@ def solve(cfg: Config) -> Tuple[int, float]:
     num_shards = cfg.num_shards or len(jax.devices())
 
     # multi-shard execution: slab-sharded SPMD on the cube path — P1
-    # (scalar and elasticity) and scalar P2 via the p-transfer level
-    # (tpufem.parallel.slab); everything else uses the row-sharded
-    # assembled path (tpufem.parallel.rowshard) — every CLI
-    # configuration executes distributed under --num_shards
+    # (scalar and elasticity) and scalar P2/P3 via the sharded
+    # p-coarsening level (tpufem.parallel.slab); blocked higher orders
+    # and unstructured meshes use the row-sharded assembled path
+    # (tpufem.parallel.rowshard) — every CLI configuration executes
+    # distributed under --num_shards
     use_sharded = (num_shards > 1 and cfg.mesh_type == "cube"
                    and (cfg.order == 1
-                        or (cfg.order == 2
-                            and cfg.problem_type != "elasticity")))
+                        or cfg.problem_type != "elasticity"))
     use_rowshard = num_shards > 1 and not use_sharded
     if (use_sharded or use_rowshard) and len(jax.devices()) < num_shards:
         raise SystemExit(

@@ -246,13 +246,17 @@ class StructuredOperator:
     @classmethod
     def build(cls, mesh: BoxTetMesh, order: int, problem: str = "poisson",
               bc_dofs: Optional[np.ndarray] = None,
-              dtype=jnp.float32, device: bool = True) -> "StructuredOperator":
+              dtype=jnp.float32, device: bool = True,
+              h_override=None) -> "StructuredOperator":
         """device=False keeps arrays in numpy (for host-only *_np use —
         a float64 jnp.asarray with x64 disabled compiles a device convert,
-        which costs ~40s through the TPU tunnel)."""
+        which costs ~40s through the TPU tunnel).  ``h_override``
+        supplies the physical cube size when ``mesh`` is a shard-local
+        slab of a larger lattice."""
         bs = 3 if problem == "elasticity" else 1
         layout = grid_layout(mesh, order)
-        Ap = perm_element_matrices(mesh, order, problem)
+        Ap = perm_element_matrices(mesh, order, problem,
+                                   h_override=h_override)
         nd = layout.ndofs * bs
         mask = np.zeros(nd, dtype=bool)
         if bc_dofs is not None:

@@ -215,13 +215,22 @@ class ShardedCubeSolver:
             if kord == 1:
                 op = DiaOperator.build(slab, 1, problem, dtype=dtype,
                                        h_override=h_over, bake_bc=False)
-            else:
+            elif kord == 2:
                 op = DiaOperator.try_const(slab, kord, problem, dtype=dtype,
                                            bake_bc=False, h_override=h_over)
                 if op is None:
                     op = DiaOperator.build(slab, kord, problem, dtype=dtype,
                                            h_override=h_over, bake_bc=False,
                                            mode="dense")
+            else:
+                # P3: per-perm constant-element-matrix apply (the 1311
+                # shift diagonals' zone expansion would dominate the
+                # V-cycle's compile; the StructuredOperator form is the
+                # single-device production choice too)
+                from tpufem.fem.structured_op import StructuredOperator
+                op = StructuredOperator.build(slab, kord, problem,
+                                              dtype=dtype,
+                                              h_override=h_over)
             gmesh = BoxTetMesh(nx, ny, nz)
             ids, lay_s = slab_global_ids(gmesh, kord, nzl, S, bs)
             gop = build_host_op(gmesh, kord, problem, bc_dofs=None,
