@@ -74,7 +74,7 @@ def cold_subprocess_first_solve() -> float:
         "t0 = time.perf_counter()\n"
         "with contextlib.redirect_stdout(sys.stderr):\n"
         "    x, it = prob.solver_function(prob.u, prob.b)\n"
-        "    jax.block_until_ready(x)\n"
+        "    print('LAST', float(jnp.ravel(x)[-1]), file=sys.stderr)\n"
         "print(f'COLD_FIRST_SOLVE={time.perf_counter()-t0:.4f}')\n")
     try:
         out = subprocess.run([sys.executable, "-c", script], cwd=".",
@@ -89,17 +89,23 @@ def cold_subprocess_first_solve() -> float:
     return -1.0
 
 
-def timed_solves(prob, reps: int = REPS, passes: int = 2) -> float:
+def timed_solves(prob, reps: int = REPS, passes: int = 3) -> float:
     """Amortized warm solve seconds (min over passes of pipelined
-    perturbed-RHS repetitions)."""
-    import jax
+    perturbed-RHS repetitions).
+
+    A SCALAR READBACK of the last output is the completion barrier:
+    through the axon tunnel jax.block_until_ready can return before
+    device work finishes, and dispatches execute in order on the single
+    device stream, so awaiting the final result's bytes awaits them
+    all.  min over passes discards tunnel-congestion outliers."""
+    import jax.numpy as jnp
     best = 1e30
     for _ in range(passes):
         t0 = time.perf_counter()
         outs = [prob.solver_function.solve_async(
             prob.u, prob.b * (1.0 + 1e-6 * (i + 1)))[0]
             for i in range(reps)]
-        jax.block_until_ready(outs)
+        float(jnp.ravel(outs[-1])[-1])
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 
@@ -164,7 +170,7 @@ def main() -> None:
     t0 = time.perf_counter()
     with contextlib.redirect_stdout(sys.stderr):
         x, it = prob.solver_function(prob.u, prob.b)
-        jax.block_until_ready(x)
+        float(jnp.ravel(x)[-1])  # scalar readback: real completion barrier
     solve_first_s = time.perf_counter() - t0
     pc_setup_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
     log(f"first solve {solve_first_s:.2f}s (PC setup {pc_setup_s:.2f}s, "
@@ -243,7 +249,7 @@ def main() -> None:
     t0 = time.perf_counter()
     with contextlib.redirect_stdout(sys.stderr):
         x4, it4 = prob4.solver_function(prob4.u, prob4.b)
-        jax.block_until_ready(x4)
+        float(jnp.ravel(x4)[-1])
     first4_s = time.perf_counter() - t0
     pc4_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
     solve4_s = timed_solves(prob4)
@@ -284,7 +290,7 @@ def main() -> None:
         t0 = time.perf_counter()
         with contextlib.redirect_stdout(sys.stderr):
             x5, it5 = prob5.solver_function(prob5.u, prob5.b)
-            jax.block_until_ready(x5)
+            float(jnp.ravel(x5)[-1])
         first5_s = time.perf_counter() - t0
         setup5_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
         solve5_s = timed_solves(prob5)

@@ -42,6 +42,43 @@ def test_dia_matches_assembled(order, dims, problem, bs):
     assert np.allclose(op.diagonal_np(), np.asarray(ell.diagonal()), atol=tol)
 
 
+@pytest.mark.parametrize("order,dims,problem,bs", [
+    (1, (3, 4, 5), "poisson", 1),      # dense-mode small lattice
+    (1, (8, 9, 10), "poisson", 1),     # const-mode (table + corrections)
+    (2, (3, 2, 4), "poisson", 1),
+    (3, (2, 3, 2), "poisson", 1),
+    (1, (2, 3, 2), "elasticity", 3),
+    (1, (9, 10, 11), "elasticity", 3),  # const-mode bs=3
+    (2, (2, 2, 2), "elasticity", 3),
+])
+def test_to_scipy_matches_assembled(order, dims, problem, bs):
+    """to_scipy exports the SAME matrix assemble_operator builds (the
+    AMG setup path uses it to skip the O(cells) host re-assembly)."""
+    import scipy.sparse as sp
+    mesh = BoxTetMesh(*dims)
+    space = FunctionSpace(mesh, order, bs=bs)
+    marker = (common.poisson_bc_marker if problem == "poisson"
+              else common.elasticity_bc_marker)
+    bc = DirichletBC.from_space(space,
+                                mesh.locate_boundary_facets(marker))
+    _, (indptr, indices, data) = assemble_operator(space, bc, problem,
+                                                   dtype=np.float64)
+    if data.ndim == 3:
+        nb = indptr.shape[0] - 1
+        ref = sp.bsr_matrix((data, indices, indptr),
+                            shape=(nb * bs, nb * bs)).tocsr()
+    else:
+        ref = sp.csr_matrix((data, indices, indptr))
+    op = DiaOperator.build(mesh, order, problem, bc_dofs=bc.flat_dofs(),
+                           dtype=jnp.float64)
+    M = op.to_scipy()
+    assert M.shape == ref.shape
+    diff = (M - ref).tocoo()
+    err = np.abs(diff.data).max() if diff.nnz else 0.0
+    scale = np.abs(ref.data).max()
+    assert err < (1e-11 if problem == "poisson" else 1e-6) * scale
+
+
 @pytest.mark.parametrize("dims,problem,bake", [
     ((8, 9, 10), "poisson", True),
     ((8, 9, 10), "poisson", False),

@@ -70,6 +70,24 @@ def test_cgpoisson_matches_assembled(order):
     assert 0 < itm <= 3000
 
 
+def test_poisson_amg_structured_matches_direct():
+    """Forced SA-AMG on the structured cube: exercises the
+    DiaOperator.to_scipy -> SAAMG.setup path inside make_solver (the
+    production poisson_amg bench configuration)."""
+    mesh = BoxTetMesh(6, 6, 6)
+    cfg = cfg_for("poisson", pc="amg", rtol=1e-10)
+    prob = poisson.problem(mesh, 1, cfg)
+    x, it = prob.solver_function(prob.u, prob.b)
+    assert 0 < it < 200
+
+    from tpufem.fem.assemble import assemble_operator
+    _, csr = assemble_operator(prob.space, prob.bc, "poisson",
+                               dtype=np.float64)
+    A = _csr_scipy(csr)
+    x_ref = spla.spsolve(A.tocsc(), np.asarray(prob.b))
+    assert np.allclose(np.asarray(x), x_ref, atol=1e-7)
+
+
 def test_elasticity_solve_matches_direct():
     mesh = BoxTetMesh(2, 2, 2)
     cfg = cfg_for("elasticity", maxit=20000)

@@ -50,9 +50,17 @@ class SolverOptions:
     amg_max_levels: int = 12
     amg_smoother: str = "chebyshev"      # README.md:78 -mg_levels_ksp_type chebyshev
     amg_smoother_degree: int = 2
-    amg_dense_level_limit: int = 16384   # levels at/below this size run
+    amg_dense_level_limit: int = 32768   # levels at/below this size run
     # dense MXU matvecs (random ELL gathers measured ~7 cycles/element on
-    # v5e; a 15k dense f32 matmul is ~6x faster than the K=60 ELL SpMV)
+    # v5e; a 15k dense f32 matmul is ~6x faster than the K=60 ELL SpMV).
+    # The row cap is additionally gated by a device-byte budget in
+    # SAAMG.setup (bf16 storage for f32 solves), so the effective limit
+    # is ~27k rows bf16 / ~13k rows f64.
+    amg_aggressive_levels: int = 1       # distance-2 (composed) aggregation
+    # on the finest k levels — BoomerAMG's agg_nl (the reference runs
+    # -pc_hypre_boomeramg_agg_nl 4, README.md:125).  Keeps every coarse
+    # level inside the dense-MXU regime (a 500k fine level coarsens to
+    # ~5k instead of ~34k rows of gather-bound ELL).
     amg_filter_k: int = 4                # keep k largest P entries/row, lump
     # the rest into the survivors (transfer gathers are the TPU V-cycle
     # bottleneck; the -pc_gamg_threshold filtering analogue)

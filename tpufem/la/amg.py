@@ -29,7 +29,9 @@ import numpy as np
 import scipy.sparse as sp
 
 from tpufem.fem.assemble import ELLMatrix, csr_to_ell
-from tpufem.la.chebyshev import chebyshev_smoother, power_iteration_lmax
+from tpufem.la.chebyshev import (chebyshev_smoother,
+                                 chebyshev_smoother_zero,
+                                 power_iteration_lmax)
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +165,45 @@ def aggregate_nodes(S: sp.csr_matrix, seed: int = 0,
         agg[left] = nagg + np.arange(left.size)
         nagg += left.size
     return agg, nagg
+
+
+def match_pairs(S2: sp.csr_matrix, rounds: int = 8) -> np.ndarray:
+    """Mutual-heaviest-edge matching on a weighted graph (vectorized,
+    deterministic).  Returns a dense relabeling ``pair[i]``: matched
+    nodes share a label, unmatched nodes keep singleton labels.
+
+    Used for aggressive AMG coarsening: merging aggregate PAIRS halves
+    a level's size with only a mild interpolation-quality cost (unlike
+    full distance-2 composition).  Edge weights are the inter-aggregate
+    strength sums, so the merge follows the strongest couplings."""
+    n = S2.shape[0]
+    indptr, indices, data = S2.indptr, S2.indices, S2.data
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    mate = np.full(n, -1, dtype=np.int64)
+    for _ in range(rounds):
+        un = mate < 0
+        if not un.any():
+            break
+        # heaviest still-unmatched neighbor of each unmatched node
+        w = np.where(un[indices] & un[rows], data, -np.inf)
+        mx = _segment_max(w, indptr, -np.inf)
+        prop = np.full(n, -1, dtype=np.int64)
+        hit = np.isfinite(w) & (w == mx[rows])
+        idx = np.flatnonzero(hit)
+        # reverse so the LOWEST column index wins ties (deterministic)
+        prop[rows[idx[::-1]]] = indices[idx[::-1]]
+        valid = prop >= 0
+        p = np.where(valid, prop, 0)
+        mutual = valid & (prop[p] == np.arange(n))
+        i = np.flatnonzero(mutual & (np.arange(n) < prop))
+        if i.size == 0:
+            break
+        mate[i] = prop[i]
+        mate[prop[i]] = i
+    root = np.where(mate >= 0, np.minimum(np.arange(n), mate),
+                    np.arange(n))
+    _, pair = np.unique(root, return_inverse=True)
+    return pair.astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -374,8 +415,9 @@ class SAAMG:
         max_levels = int(options.get("amg_max_levels"))
         damping = float(options.get("amg_prolongator_damping"))
         degree = int(options.get("amg_smoother_degree"))
-        dense_limit = int(options.get("amg_dense_level_limit", 16384))
+        dense_limit = int(options.get("amg_dense_level_limit", 32768))
         filter_k = int(options.get("amg_filter_k", 4))
+        agg_levels = int(options.get("amg_aggressive_levels", 1))
 
         if near_nullspace is None:
             B = np.ones((n, 1))
@@ -397,6 +439,27 @@ class SAAMG:
             lmax = power_iteration_lmax(lambda v: Al @ v, dinv, Al.shape[0])
             S = node_strength_graph(Al, lvl_bs, theta)
             agg, nagg = aggregate_nodes(S, seed=len(levels))
+            if len(levels) < agg_levels and nagg > 4 * coarse_limit:
+                # aggressive coarsening: pairwise (mutual-heaviest
+                # matching) merge of the aggregates — the SA analogue
+                # of BoomerAMG's agg_nl (the reference runs
+                # -pc_hypre_boomeramg_agg_nl 4,
+                # /root/reference/README.md:125,143).  On TPU this is
+                # what keeps every coarse level inside the dense-MXU
+                # regime: random ELL gathers cost ~7 cycles/element,
+                # so a 34k-row ELL level-1 dominates the whole V-cycle
+                # while a ~17k dense bf16 level is ~0.7 ms/matvec.
+                # (Full distance-2 composition measured +73% CG
+                # iterations at 216k; pairwise costs a few percent.)
+                nnode = S.shape[0]
+                Agg = sp.csr_matrix(
+                    (np.ones(nnode), (np.arange(nnode), agg)),
+                    shape=(nnode, nagg))
+                S2 = ((Agg.T @ S @ Agg).tocsr())
+                S2.setdiag(0.0)
+                S2.eliminate_zeros()
+                pair = match_pairs(S2)
+                agg, nagg = pair[agg], int(pair.max()) + 1
             P0, Bc = tentative_prolongator(agg, nagg, B, lvl_bs)
             if P0.shape[1] == 0 or P0.shape[1] >= Al.shape[0]:
                 break  # no useful coarsening possible
@@ -477,8 +540,11 @@ class SAAMG:
             else lv.A.matvec
         smooth = chebyshev_smoother(mv, lv.dinv, lv.lmax,
                                     degree=self.smoother_degree)
-        x = smooth(jnp.zeros_like(r), r)
-        rr = r - mv(x)
+        smooth0 = chebyshev_smoother_zero(mv, lv.dinv, lv.lmax,
+                                          degree=self.smoother_degree)
+        # residual-tracking pre-smoothing from zero: one scanned matvec
+        # instance + the closing residual in the lowered program
+        x, rr = smooth0(r)
         rc = lv.PT.matvec(rr)
         xc = self.vcycle(rc, i + 1)
         x = x + lv.P.matvec(xc)

@@ -35,35 +35,46 @@ def cg_solve(action: Callable[[jnp.ndarray], jnp.ndarray],
     matching src/cg.h:78 (which compares squared norms against rtol^2).
     With a preconditioner this is still the *unpreconditioned* norm, so
     iteration counts are directly comparable across preconditioners.
-    """
-    x = jnp.zeros_like(b) if x0 is None else x0
-    M = precond if precond is not None else (lambda v: v)
 
-    r = b - action(x)
-    z = M(r)
-    p = z
-    rz = dot_fn(r, z)
+    ``x0=None`` assumes a ZERO initial guess (PETSc KSP's default — the
+    reference never sets KSPSetInitialGuessNonzero) so r0 = b with no
+    operator application.  The loop is the "z-first" rotation of the
+    classic recurrence (bit-identical iterates): the preconditioner and
+    the operator each appear exactly ONCE in the lowered program, where
+    the classic form inlines both twice (init + body).  On the
+    const-table stencil programs those duplicated multigrid V-cycles
+    dominated XLA compile time.
+    """
+    M = precond if precond is not None else (lambda v: v)
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - action(x0)
     rnorm0 = dot_fn(r, r)
+    one = jnp.ones_like(rnorm0)
 
     def cond(state):
-        x, r, z, p, rz, rnorm, k = state
+        x, r, p, rz_prev, rnorm, k = state
         return jnp.logical_and(k < maxit, rnorm > rtol * rtol * rnorm0)
 
     def body(state):
-        x, r, z, p, rz, rnorm, k = state
+        x, r, p, rz_prev, rnorm, k = state
+        z = M(r)
+        rz = dot_fn(r, z)
+        beta = jnp.where(k == 0, jnp.zeros_like(rz),
+                         rz / rz_prev).astype(b.dtype)
+        p = z + beta * p
         y = action(p)
         alpha = (rz / dot_fn(p, y)).astype(b.dtype)
         x = x + alpha * p
         r = r - alpha * y
-        z = M(r)
-        rz_new = dot_fn(r, z)
-        beta = (rz_new / rz).astype(b.dtype)
-        p = z + beta * p
-        rnorm = dot_fn(r, r)
-        return (x, r, z, p, rz_new, rnorm, k + 1)
+        return (x, r, p, rz, dot_fn(r, r), k + 1)
 
-    state = (x, r, z, p, rz, rnorm0, jnp.asarray(0, dtype=jnp.int32))
-    x, r, z, p, rz, rnorm, k = jax.lax.while_loop(cond, body, state)
+    state = (x, r, jnp.zeros_like(b), one, rnorm0,
+             jnp.asarray(0, dtype=jnp.int32))
+    x, r, p, rz, rnorm, k = jax.lax.while_loop(cond, body, state)
     rel = jnp.sqrt(rnorm / rnorm0)
     return x, k, rel
 
@@ -102,25 +113,33 @@ def cg_solve_fused(action: Callable[[jnp.ndarray], jnp.ndarray],
       slower on v5e.
 
     Convergence: ||r|| / ||r0|| < rtol on the recurrence residual
-    (reference src/cg.h:78), checked AFTER the matvec so the iteration
-    count matches cg_solve's.
-    """
-    x = jnp.zeros_like(b) if x0 is None else x0
-    dt = b.dtype
+    (reference src/cg.h:78), checked as the loop condition so the
+    iteration count matches cg_solve's.
 
-    r = b - action(x)
-    w = action(r)
+    The matvec sits at the TOP of the loop body (w = A r), so the
+    lowered program holds exactly ONE ``action`` instance — with
+    ``x0=None`` (zero initial guess, the product default) nothing is
+    applied outside the loop at all.
+    """
+    dt = b.dtype
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - action(x0)
     rr0 = dot_fn(r, r)
-    wr0 = dot_fn(w, r)
     one = jnp.ones_like(rr0)
     z = jnp.zeros_like(b)
 
     def cond(state):
-        p, s, x, r, w, rr, rr_prev, wr, alpha_prev, k = state
+        p, s, x, r, rr, rr_prev, alpha_prev, k = state
         return jnp.logical_and(k < maxit, rr > rtol * rtol * rr0)
 
     def body(state):
-        p, s, x, r, w, rr, rr_prev, wr, alpha_prev, k = state
+        p, s, x, r, rr, rr_prev, alpha_prev, k = state
+        w = action(r)
+        wr = dot_fn(w, r)
         beta = jnp.where(k == 0, jnp.zeros_like(rr), rr / rr_prev)
         alpha = rr / (wr - beta * rr / alpha_prev)
         a = alpha.astype(dt)
@@ -129,13 +148,11 @@ def cg_solve_fused(action: Callable[[jnp.ndarray], jnp.ndarray],
         sn = w + bt * s
         xn = x + a * pn
         rn = r - a * sn
-        wn = action(rn)
-        return (pn, sn, xn, rn, wn, dot_fn(rn, rn), rr, dot_fn(wn, rn),
-                alpha, k + 1)
+        return (pn, sn, xn, rn, dot_fn(rn, rn), rr, alpha, k + 1)
 
-    state = (z, z, x, r, w, rr0, one, wr0, one,
+    state = (z, z, x, r, rr0, one, one,
              jnp.asarray(0, dtype=jnp.int32))
     out = jax.lax.while_loop(cond, body, state)
-    x, rr = out[2], out[5]
+    x, rr = out[2], out[4]
     rel = jnp.sqrt(rr / rr0)
-    return x, out[9], rel
+    return x, out[7], rel

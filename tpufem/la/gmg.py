@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpufem.fem.structured_op import StructuredOperator, dof_slice_plan
-from tpufem.la.chebyshev import chebyshev_smoother
+from tpufem.la.chebyshev import (chebyshev_smoother,
+                                 chebyshev_smoother_zero)
 from tpufem.mesh.structured import EDGE_TYPES, FACE_TYPES, BoxTetMesh
 
 
@@ -355,8 +356,14 @@ class GMG:
         lv = self.levels[i]
         smooth = chebyshev_smoother(lv.op.apply, lv.dinv, lv.lmax,
                                     degree=self.smoother_degree)
-        x = smooth(jnp.zeros_like(r), r)
-        rr = r - lv.op.apply(x)
+        smooth0 = chebyshev_smoother_zero(lv.op.apply, lv.dinv, lv.lmax,
+                                          degree=self.smoother_degree)
+        # pre-smoothing starts from zero: the residual-tracking form
+        # returns rr = r - A x in `degree` matvecs and, with the scanned
+        # recurrence, TWO matvec instances in the lowered program —
+        # compile time of the const-table stencil programs scales with
+        # inlined apply instances (631 s round-2 pathology)
+        x, rr = smooth0(r)
         # symmetric BC-filtered transfers: P~ = (I - bc_f) P (I - bc_c),
         # so the preconditioner stays SPD for PCG
         rr = jnp.where(lv.op.bc_mask, 0.0, rr)

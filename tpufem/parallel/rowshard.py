@@ -45,7 +45,8 @@ import scipy.sparse as sp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpufem.la.cg import cg_solve
-from tpufem.la.chebyshev import chebyshev_smoother
+from tpufem.la.chebyshev import (chebyshev_smoother,
+                                 chebyshev_smoother_zero)
 from tpufem.parallel.gmap import (GeneralIndexMaps, build_general_maps,
                                   partition_cells_sfc)
 
@@ -254,8 +255,11 @@ class ShardedEllSolver:
                     return eg[jnp.clip(lg_all[k], 0, N - 1)]
                 smooth = chebyshev_smoother(spmv, d["dinv"], lmax0,
                                             degree=degree)
-                x = smooth(jnp.zeros_like(r), r)
-                rr = r - spmv(x)
+                smooth0 = chebyshev_smoother_zero(spmv, d["dinv"], lmax0,
+                                                  degree=degree)
+                # residual-tracking pre-smoothing from zero (mirrors
+                # la.gmg.GMG.vcycle; one scanned spmv instance)
+                x, rr = smooth0(r)
                 # restriction rc = P^T rr, owner-computes: scatter-add
                 # each OWNED fine row's P-row into a coarse-length
                 # accumulator; ONE psum at coarse size (O(N/8)) combines

@@ -52,7 +52,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpufem.fem.dia_op import DiaOperator
 from tpufem.la.cg import cg_solve
-from tpufem.la.chebyshev import chebyshev_smoother
+from tpufem.la.chebyshev import (chebyshev_smoother,
+                                 chebyshev_smoother_zero)
 from tpufem.la.gmg import (GMG, prolong_h, prolong_p, restrict_h,
                            restrict_p, surrogate_lmax)
 from tpufem.mesh.structured import BoxTetMesh
@@ -505,8 +506,13 @@ class ShardedCubeSolver:
                 smooth = chebyshev_smoother(lambda v: action(i, v),
                                             ldinv[i], meta[i][2],
                                             degree=degree)
-                x = smooth(jnp.zeros_like(r), r)
-                rr = r - action(i, x)
+                smooth0 = chebyshev_smoother_zero(
+                    lambda v: action(i, v), ldinv[i], meta[i][2],
+                    degree=degree)
+                # residual-tracking pre-smoothing from zero (mirrors
+                # la.gmg.GMG.vcycle — one action instance in the scan
+                # + the closing residual, vs degree+2 inlined)
+                x, rr = smooth0(r)
                 rr = jnp.where(lbc[i], 0.0, rr)
                 # restrict OWNED dofs only (ghost interface slices
                 # zeroed); cross-interface contributions ride the

@@ -218,10 +218,14 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                 from tpufem.la.amg import SAAMG
                 csr_ = csr
                 if csr_ is None:
-                    space = FunctionSpace(mesh, order,
-                                          bs=3 if problem_name == "elasticity" else 1)
-                    _, csr_ = assemble_operator(space, bc, problem_name,
-                                                dtype=np.float64)
+                    # structured path (A is a DiaOperator): export the
+                    # CSR straight from the stencil representation
+                    # (vectorized index arithmetic, ~1.5 s at 500k)
+                    # instead of re-assembling from element tensors
+                    # (~36 s host time); equality pinned by
+                    # tests/test_dia_op.py::test_to_scipy_matches_assembled
+                    M = A.to_scipy()
+                    csr_ = (M.indptr, M.indices, M.data)
                 pc = SAAMG.setup(csr_, bs=bc.bs, options=solver, dtype=dtype,
                                  near_nullspace=nns, bc_mask=bc.mask())
                 if structured:
@@ -242,6 +246,13 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                 pc = None
                 precond_of = lambda A_, _pc: None
 
+            # zero initial guess by default (PETSc KSP's default; the
+            # reference never sets KSPSetInitialGuessNonzero): r0 = b,
+            # and cg_solve's lowered program holds ONE operator and ONE
+            # preconditioner instance
+            nonzero_guess = bool(solver.get("ksp_initial_guess_nonzero",
+                                            False))
+
             def run(A_, pc_, x0, rhs_):
                 if planar:
                     # interleaved contract outside, planar inside: the
@@ -249,7 +260,8 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     # per-iteration state stays planar)
                     x0 = x0.reshape(-1, 3).T.reshape(-1)
                     rhs_ = rhs_.reshape(-1, 3).T.reshape(-1)
-                x_, it_, rel_ = cg_solve(matvec_of(A_), rhs_, x0=x0,
+                x_, it_, rel_ = cg_solve(matvec_of(A_), rhs_,
+                                         x0=x0 if nonzero_guess else None,
                                          precond=precond_of(A_, pc_),
                                          rtol=rtol, maxit=maxit)
                 if planar:

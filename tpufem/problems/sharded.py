@@ -81,7 +81,19 @@ def problem_rowshard(mesh, order: int, cfg: Config, problem_name: str,
         bc = DirichletBC.from_space(space, facets)
 
     with Timer("ZZZ Assemble matrix"):
-        _A, csr = assemble_operator(space, bc, base, dtype=np.float64)
+        from tpufem.mesh import BoxTetMesh
+        if isinstance(mesh, BoxTetMesh):
+            # stencil -> CSR export skips the O(cells) host element-
+            # tensor assembly (~36 s at 500k; equality pinned in
+            # tests/test_dia_op.py::test_to_scipy_matches_assembled)
+            from tpufem.fem.dia_op import DiaOperator
+            op = DiaOperator.build(mesh, order, base,
+                                   bc_dofs=bc.flat_dofs(),
+                                   dtype=jnp.float64, device=False)
+            M = op.to_scipy()
+            csr = (M.indptr, M.indices, M.data)
+        else:
+            _A, csr = assemble_operator(space, bc, base, dtype=np.float64)
 
     with Timer("ZZZ Assemble vector"):
         if problem_name == "elasticity":
