@@ -684,13 +684,15 @@ def build_operator(mesh: BoxTetMesh, order: int, problem: str,
 
     - P1: DIA stencil (7-15 shift diagonals — smallest HLO, pure VPU),
       fused z-zone apply;
-    - P2 scalar: const-table DIA across all typed dof grids (230 terms;
-      measured 3.1x the StructuredOperator throughput on v5e), falling
-      back to per-perm element matrices when the lattice is too small
-      for shell reconstruction;
-    - P3 and blocked (bs=3) P2/P3: StructuredOperator (P3's 1311 DIA
-      terms and the bs^2 scalar decomposition measured SLOWER than the
-      per-perm multiply-add form).
+    - P2/P3 scalar: const-table DIA across all typed dof grids (230 /
+      1311 terms; with precomputed zone weight fields measured 3.1x
+      (P2) and 2.4x (P3, 0.74 vs 1.78 ms/apply at 530k) the
+      StructuredOperator throughput on v5e), falling back to per-perm
+      element matrices when the lattice is too small for shell
+      reconstruction;
+    - blocked (bs=3) P2/P3: StructuredOperator (the bs^2 scalar
+      decomposition measured SLOWER than the per-perm multiply-add
+      einsum form).
     All expose apply / apply_np / diagonal_np / bc_mask.
     """
     if order == 1:
@@ -700,7 +702,7 @@ def build_operator(mesh: BoxTetMesh, order: int, problem: str,
     if planar:
         raise ValueError("planar layout is implemented for the P1 "
                          "DiaOperator forms only")
-    if problem != "elasticity" and order == 2:
+    if problem != "elasticity" and order in (2, 3):
         op = DiaOperator.try_const(mesh, order, problem, bc_dofs=bc_dofs,
                                    dtype=dtype, bake_bc=bake_bc,
                                    device=device)
