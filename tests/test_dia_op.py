@@ -225,3 +225,33 @@ def test_dia_triple_count_p1():
     op2 = DiaOperator.build(BoxTetMesh(4, 5, 6), 1, "poisson",
                             dtype=jnp.float64)
     assert 7 <= len(op2.plan) <= 15
+
+
+@pytest.mark.parametrize("order,dims", [(2, (8, 9, 10)), (3, (8, 9, 10)),
+                                        (2, (6, 6, 6)), (3, (6, 7, 6)),
+                                        (1, (8, 9, 10))])
+def test_conv_op_matches_const(order, dims):
+    """The MXU channel-conv operator (bulk conv + inclusion-exclusion
+    boundary contractions) equals the const-table DIA apply exactly
+    (same matrix, reorganized; f64)."""
+    from tpufem.fem.conv_op import ConvStencilOp
+    mesh = BoxTetMesh(*dims)
+    space = FunctionSpace(mesh, order)
+    bc = DirichletBC.from_space(
+        space, mesh.locate_boundary_facets(common.poisson_bc_marker))
+    for bake in (True, False):
+        oc = DiaOperator.try_const(mesh, order, "poisson",
+                                   bc_dofs=bc.flat_dofs(),
+                                   dtype=jnp.float64, bake_bc=bake)
+        assert oc is not None
+        cv = ConvStencilOp.from_dia(oc, dtype=jnp.float64)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal(space.ndofs))
+        if bake:
+            ref = np.asarray(oc.apply(x))
+            got = np.asarray(cv.apply(x))
+        else:
+            ref = np.asarray(oc.apply_bc_rows_zero(x))
+            got = np.asarray(cv.apply_bc_rows_zero(x))
+        s = np.abs(ref).max()
+        assert np.abs(got - ref).max() < 1e-12 * s
