@@ -286,6 +286,19 @@ class GMG:
         for m, k in zip(meshes[:-1], orders[:-1]):
             op = make_level(m, k)
             dinv_np = 1.0 / op.diagonal_np()
+            if k >= 2 and bs == 1:
+                # Pk fine level: same matrix as an MXU channel conv
+                # (fem/conv_op.py) — faster apply and a far smaller HLO
+                # than the ~1300-slice const-table form.  The smoother
+                # only needs apply/bc_mask; p-transfers read .layout,
+                # which the conv op carries.
+                from tpufem.fem.conv_op import ConvStencilOp
+                from tpufem.fem.dia_op import DiaOperator
+                if isinstance(op, DiaOperator) and op.is_const():
+                    try:
+                        op = ConvStencilOp.from_dia(op, dtype=dtype)
+                    except ValueError:
+                        pass
             levels.append(_GLevel(op=op,
                                   dinv=jnp.asarray(dinv_np.astype(np.dtype(dtype))),
                                   lmax=lmax_of[k]))

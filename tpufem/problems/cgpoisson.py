@@ -128,6 +128,21 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
             op = build_operator(mesh, order, "poisson",
                                 bc_dofs=bc.flat_dofs(), dtype=dtype,
                                 bake_bc=False)
+        if (order >= 2 and isinstance(op, DiaOperator) and op.is_const()
+                and not cfg.solver.extra.get("no_conv")):
+            # P2/P3: reorganize the same const-table matrix as an MXU
+            # channel convolution (fem/conv_op.py) — bulk 3x3x3 conv over
+            # C typed-dof channels + O(surface) boundary contractions.
+            # Measured 0.74 -> 0.04-0.11 ms/apply at 530k P3 dofs vs the
+            # fused-slice VPU form, and a far smaller HLO (27 dense ops
+            # vs ~1300 shifted slices).  Opt out with -no_conv 1.
+            from tpufem.fem.conv_op import ConvStencilOp
+            try:
+                op = ConvStencilOp.from_dia(op, dtype=dtype)
+            except ValueError:
+                pass
+        if "no_conv" in cfg.solver.extra:
+            cfg.solver._consumed.add("no_conv")
         if order == 1 and cfg.solver.extra.get("use_pallas"):
             # fused single-pass stencil kernel (opt-in; the default
             # XLA table apply fuses to the same single pass and
