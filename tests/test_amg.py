@@ -129,3 +129,32 @@ def test_fine_matvec_hook_matches_ell():
     v0 = np.asarray(amg.vcycle(b))
     v1 = np.asarray(amg.vcycle(b, fine_matvec=amg.levels[0].A.matvec))
     assert np.array_equal(v0, v1)
+
+
+def test_factored_fine_transfers_match_ell():
+    """fine_factored=True applies the SAME smoothed prolongator in
+    factored form, P = (I - omega D^-1 A) P0: the V-cycle must match
+    the explicit-ELL hierarchy built with an unfiltered level-0 P
+    (amg_filter_k=0 disables the top-k row filter everywhere, making
+    the two hierarchies algebraically identical)."""
+    A = laplace_3d(12)
+    n = A.shape[0]
+    csr = (A.indptr, A.indices, A.data)
+    b = jnp.asarray(np.random.default_rng(2).standard_normal(n))
+    opts = SolverOptions(amg_filter_k=0)
+    ell = SAAMG.setup(csr, bs=1, options=opts, dtype=jnp.float64)
+    fac = SAAMG.setup(csr, bs=1, options=opts, dtype=jnp.float64,
+                      fine_factored=True)
+    assert fac.levels[0].fw is not None and fac.levels[0].P is None
+    assert ell.levels[0].fw is None
+    assert fac.level_sizes == ell.level_sizes
+    ve = np.asarray(ell.vcycle(b))
+    vf = np.asarray(fac.vcycle(b))
+    assert np.abs(ve - vf).max() < 1e-12 * np.abs(ve).max()
+    # preconditioned CG through the factored form converges identically
+    _, ite, rele = cg_solve(ell.levels[0].A.matvec, b,
+                            precond=ell.vcycle, rtol=1e-8, maxit=50)
+    _, itf, relf = cg_solve(fac.levels[0].A.matvec, b,
+                            precond=fac.vcycle, rtol=1e-8, maxit=50)
+    assert float(relf) < 1e-8
+    assert int(ite) == int(itf)

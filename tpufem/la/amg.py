@@ -325,6 +325,23 @@ def _filter_rows_topk(P: sp.csr_matrix, k: int) -> sp.csr_matrix:
                          shape=P.shape).tocsr()
 
 
+def _csr_rows_padded(P0: sp.csr_matrix, m: int):
+    """Tentative-prolongator rows as padded [n, m] (cols, vals) arrays —
+    each fine dof touches at most the m coarse dofs of its aggregate
+    (zero-padded; dropped aggregates give all-zero rows on col 0)."""
+    n = P0.shape[0]
+    nnz = np.diff(P0.indptr)
+    if nnz.size and nnz.max() > m:
+        raise ValueError("tentative prolongator row exceeds m entries")
+    cols = np.zeros((n, m), dtype=np.int32)
+    vals = np.zeros((n, m))
+    rows = np.repeat(np.arange(n), nnz)
+    pos = np.arange(P0.indices.size) - np.repeat(P0.indptr[:-1], nnz)
+    cols[rows, pos] = P0.indices
+    vals[rows, pos] = P0.data
+    return cols, vals
+
+
 # ---------------------------------------------------------------------------
 # Hierarchy
 # ---------------------------------------------------------------------------
@@ -365,18 +382,25 @@ class DenseMat:
 @dataclasses.dataclass
 class _Level:
     A: ELLMatrix                # or DenseMat (small levels)
-    P: Optional[ELLMatrix]      # fine <- coarse
-    PT: Optional[ELLMatrix]     # coarse <- fine
+    P: Optional[ELLMatrix]      # fine <- coarse (None in factored form)
+    PT: Optional[ELLMatrix]     # coarse <- fine (None in factored form)
     dinv: jnp.ndarray
     lmax: float                 # static (baked into Chebyshev coefficients)
+    # factored smoothed-transfer form (fine level only, see setup):
+    # P = (I - omega D^-1 A) P0 applied as tentative-gather + one extra
+    # operator action instead of a fine-size ELL SpMV.
+    fw: Optional[jnp.ndarray] = None        # [n, m] P0 row weights
+    fcols: Optional[jnp.ndarray] = None     # [n, m] P0 row cols (int32)
+    omega_dinv: Optional[jnp.ndarray] = None  # [n] omega * dinv
 
     def tree_flatten(self):
-        return (self.A, self.P, self.PT, self.dinv), self.lmax
+        return ((self.A, self.P, self.PT, self.dinv,
+                 self.fw, self.fcols, self.omega_dinv), self.lmax)
 
     @classmethod
     def tree_unflatten(cls, lmax, children):
-        A, P, PT, dinv = children
-        return cls(A, P, PT, dinv, lmax)
+        A, P, PT, dinv, fw, fcols, odinv = children
+        return cls(A, P, PT, dinv, lmax, fw, fcols, odinv)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -400,7 +424,18 @@ class SAAMG:
     @classmethod
     def setup(cls, csr_tuple, bs: int, options, dtype=jnp.float32,
               near_nullspace: Optional[np.ndarray] = None,
-              bc_mask: Optional[np.ndarray] = None) -> "SAAMG":
+              bc_mask: Optional[np.ndarray] = None,
+              fine_factored: bool = False) -> "SAAMG":
+        """``fine_factored=True`` stores the FINE level's smoothed
+        transfers in factored form, P = (I - omega D^-1 A) P0: the
+        vcycle applies the tentative P0 (one m-wide gather / scatter-add
+        per dof) plus one extra fine operator action, instead of
+        fine-size ELL SpMVs.  Worth it exactly when the fine operator
+        action is gather-free (the matrix-free stencil paths, where the
+        per-iteration cost is dominated by the random gathers of the
+        full smoothed P/PT: ~7 cycles/element on v5e).  The factored
+        apply is EXACT, so level-0 smoothing skips the top-k row filter
+        and the Galerkin product uses the same unfiltered P."""
         indptr, indices, data = csr_tuple
         if data.ndim == 3:  # block CSR -> scalar CSR
             nb = indptr.shape[0] - 1
@@ -463,8 +498,9 @@ class SAAMG:
             P0, Bc = tentative_prolongator(agg, nagg, B, lvl_bs)
             if P0.shape[1] == 0 or P0.shape[1] >= Al.shape[0]:
                 break  # no useful coarsening possible
+            factored = fine_factored and len(levels) == 0
             P = smooth_prolongator(Al, P0, damping, lmax,
-                                   filter_k=filter_k)
+                                   filter_k=0 if factored else filter_k)
             Ac = (P.T @ Al @ P).tocsr()
             Ac.sum_duplicates()
             # inert coarse dofs (rank-deficient aggregates): unit diagonal
@@ -501,13 +537,27 @@ class SAAMG:
                      if use_dense
                      else csr_to_ell(Al.indptr, Al.indices, Al.data,
                                      dtype=dtype))
-            levels.append(_Level(
-                A=A_dev,
-                P=csr_to_ell(P.indptr, P.indices, P.data, dtype=dtype),
-                PT=csr_to_ell(PT.indptr, PT.indices, PT.data, dtype=dtype),
-                dinv=jnp.asarray(dinv, dtype=dtype),
-                lmax=lmax,
-            ))
+            if factored:
+                m = B.shape[1]
+                fc, fv = _csr_rows_padded(P0, m)
+                levels.append(_Level(
+                    A=A_dev, P=None, PT=None,
+                    dinv=jnp.asarray(dinv, dtype=dtype),
+                    lmax=lmax,
+                    fw=jnp.asarray(fv.astype(np.dtype(dtype))),
+                    fcols=jnp.asarray(fc),
+                    omega_dinv=jnp.asarray(
+                        ((damping / lmax) * dinv).astype(np.dtype(dtype))),
+                ))
+            else:
+                levels.append(_Level(
+                    A=A_dev,
+                    P=csr_to_ell(P.indptr, P.indices, P.data, dtype=dtype),
+                    PT=csr_to_ell(PT.indptr, PT.indices, PT.data,
+                                  dtype=dtype),
+                    dinv=jnp.asarray(dinv, dtype=dtype),
+                    lmax=lmax,
+                ))
             Al = Ac
             B = Bc
             lvl_bs = B.shape[1]  # coarse levels carry m dofs per aggregate
@@ -545,9 +595,20 @@ class SAAMG:
         # residual-tracking pre-smoothing from zero: one scanned matvec
         # instance + the closing residual in the lowered program
         x, rr = smooth0(r)
-        rc = lv.PT.matvec(rr)
-        xc = self.vcycle(rc, i + 1)
-        x = x + lv.P.matvec(xc)
+        if lv.fw is not None:
+            # factored transfers: PT r = P0^T (r - omega A dinv r),
+            # P xc = y - omega dinv A y with y = P0 xc — two extra
+            # fine operator actions instead of two fine-size ELL SpMVs
+            v = rr - mv(lv.omega_dinv * rr)
+            rc = jnp.zeros(self.level_sizes[i + 1], dtype=r.dtype).at[
+                lv.fcols].add(lv.fw * v[:, None])
+            xc = self.vcycle(rc, i + 1)
+            y = jnp.sum(lv.fw * xc[lv.fcols], axis=-1)
+            x = x + y - lv.omega_dinv * mv(y)
+        else:
+            rc = lv.PT.matvec(rr)
+            xc = self.vcycle(rc, i + 1)
+            x = x + lv.P.matvec(xc)
         return smooth(x, r)
 
     def as_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:

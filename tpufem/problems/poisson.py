@@ -227,7 +227,8 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     M = A.to_scipy()
                     csr_ = (M.indptr, M.indices, M.data)
                 pc = SAAMG.setup(csr_, bs=bc.bs, options=solver, dtype=dtype,
-                                 near_nullspace=nns, bc_mask=bc.mask())
+                                 near_nullspace=nns, bc_mask=bc.mask(),
+                                 fine_factored=structured)
                 if structured:
                     # the constant-stencil apply IS the assembled matrix
                     # on this mesh: use it as the (gather-free) fine-level
