@@ -237,7 +237,8 @@ class GMG:
     def setup(cls, mesh: BoxTetMesh, order: int, problem: str,
               bc_marker: Callable, dtype=jnp.float32,
               coarse_limit: int = 1000, smoother_degree: int = 2,
-              max_levels: int = 12, planar: bool = False) -> "GMG":
+              max_levels: int = 12, planar: bool = False,
+              use_conv: bool = False) -> "GMG":
         from tpufem.fem.dirichlet import DirichletBC
         from tpufem.fem.space import FunctionSpace
 
@@ -286,12 +287,15 @@ class GMG:
         for m, k in zip(meshes[:-1], orders[:-1]):
             op = make_level(m, k)
             dinv_np = 1.0 / op.diagonal_np()
-            if k >= 2 and bs == 1:
-                # Pk fine level: same matrix as an MXU channel conv
-                # (fem/conv_op.py) — faster apply and a far smaller HLO
-                # than the ~1300-slice const-table form.  The smoother
-                # only needs apply/bc_mask; p-transfers read .layout,
-                # which the conv op carries.
+            if k >= 2 and bs == 1 and use_conv:
+                # OPT-IN: Pk fine level as an MXU channel conv
+                # (fem/conv_op.py) — a far smaller HLO than the
+                # ~1300-slice const-table form, but ~6x slower per apply
+                # on v5e (P2 0.65 vs 4.30 ms at 510k; XLA materializes
+                # im2col copies the shifted-slice form avoids), so the
+                # DIA form is the default and conv is the compile-size
+                # escape hatch.  The smoother only needs apply/bc_mask;
+                # p-transfers read .layout, which the conv op carries.
                 from tpufem.fem.conv_op import ConvStencilOp
                 from tpufem.fem.dia_op import DiaOperator
                 if isinstance(op, DiaOperator) and op.is_const():

@@ -129,20 +129,25 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
                                 bc_dofs=bc.flat_dofs(), dtype=dtype,
                                 bake_bc=False)
         if (order >= 2 and isinstance(op, DiaOperator) and op.is_const()
-                and not cfg.solver.extra.get("no_conv")):
-            # P2/P3: reorganize the same const-table matrix as an MXU
+                and cfg.solver.extra.get("use_conv")):
+            # OPT-IN (-use_conv 1): the same const-table matrix as an MXU
             # channel convolution (fem/conv_op.py) — bulk 3x3x3 conv over
             # C typed-dof channels + O(surface) boundary contractions.
-            # Measured 0.74 -> 0.04-0.11 ms/apply at 530k P3 dofs vs the
-            # fused-slice VPU form, and a far smaller HLO (27 dense ops
-            # vs ~1300 shifted slices).  Opt out with -no_conv 1.
+            # Its HLO is far smaller (27 dense ops vs ~1300 shifted
+            # slices), but on v5e hardware the conv APPLY is ~6x slower
+            # than the fused-slice VPU form (in-loop fori measurements at
+            # ~510k dofs: P2 0.65 vs 4.30 ms, P3 1.14 vs 6.95 ms — XLA
+            # lowers the C-channel conv through im2col-style copies that
+            # the shifted-slice form never materializes), so the DIA form
+            # is the default and conv remains the compile-size escape
+            # hatch.
             from tpufem.fem.conv_op import ConvStencilOp
             try:
                 op = ConvStencilOp.from_dia(op, dtype=dtype)
             except ValueError:
                 pass
-        if "no_conv" in cfg.solver.extra:
-            cfg.solver._consumed.add("no_conv")
+        if "use_conv" in cfg.solver.extra:
+            cfg.solver._consumed.add("use_conv")
         if order == 1 and cfg.solver.extra.get("use_pallas"):
             # fused single-pass stencil kernel (opt-in; the default
             # XLA table apply fuses to the same single pass and
