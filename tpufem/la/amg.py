@@ -73,8 +73,11 @@ def node_strength_graph(A: sp.csr_matrix, bs: int, theta: float) -> sp.csr_matri
                           shape=S.shape).tocsr()
     S.setdiag(0.0)
     S.eliminate_zeros()
-    # symmetrize
-    S = S.maximum(S.T).tocsr()
+    # No explicit symmetrize: the operators here are SPD (CG requires
+    # it) and the strength criterion |a_ij| > theta sqrt(a_ii a_jj) is
+    # symmetric in (i, j), so S inherits A's symmetric pattern; a
+    # csr_maximum_csr pass measured 1.5 s at 500k and changed nothing.
+    # (Aggregation below is also correct for a mildly asymmetric S.)
     return S
 
 
@@ -104,6 +107,19 @@ def aggregate_nodes(S: sp.csr_matrix, seed: int = 0,
     prio = rng.permutation(n).astype(np.float64)
     agg = np.full(n, -1, dtype=np.int64)
     nagg = 0
+    # invariants hoisted out of the rounds (each an O(nnz) pass that
+    # dominated aggregation time at 500k when rebuilt per round)
+    nnz = np.diff(indptr)
+    rows_of_nnz = np.repeat(np.arange(n), nnz)
+    prio_nnz = prio[indices]
+    ne = np.flatnonzero(nnz > 0)
+    starts = indptr[ne]
+
+    def seg_max(vals: np.ndarray, default: float) -> np.ndarray:
+        out = np.full(n, default)
+        if ne.size:
+            out[ne] = np.maximum.reduceat(vals, starts)
+        return out
 
     for _ in range(max_rounds):
         cand = agg < 0
@@ -111,14 +127,17 @@ def aggregate_nodes(S: sp.csr_matrix, seed: int = 0,
             break
         # VMB phase-1 eligibility: the whole strong neighborhood is still
         # unaggregated (nodes bordering an aggregate wait for phase 2)
-        has_agg_nb = _segment_max(
-            (agg[indices] >= 0).astype(np.float64), indptr, 0.0) > 0.0
+        agg_nb = agg[indices] >= 0
+        has_agg_nb = np.zeros(n, dtype=bool)
+        if ne.size:
+            has_agg_nb[ne] = np.maximum.reduceat(
+                agg_nb.view(np.uint8), starts) > 0
         elig = cand & ~has_agg_nb
         if not elig.any():
             break
         # neighbor priorities among eligible competitors
-        nb_p = np.where(elig[indices], prio[indices], -1.0)
-        nmax = _segment_max(nb_p, indptr, -1.0)
+        nb_p = np.where(elig[indices], prio_nnz, -1.0)
+        nmax = seg_max(nb_p, -1.0)
         roots = elig & (prio > nmax)
         nroots = int(roots.sum())
         if nroots == 0:
@@ -128,12 +147,12 @@ def aggregate_nodes(S: sp.csr_matrix, seed: int = 0,
         nagg += nroots
         # unaggregated nodes with a root neighbor join the max-priority root
         cand = agg < 0
-        rp = np.where(roots[indices], prio[indices], -1.0)
-        rmax = _segment_max(rp, indptr, -1.0)
+        rp = np.where(roots[indices], prio_nnz, -1.0)
+        rmax = seg_max(rp, -1.0)
         join = cand & (rmax >= 0.0)
         if join.any():
             # find, per joining row, the nnz whose col is that max root
-            rows = np.repeat(np.arange(n), np.diff(indptr))
+            rows = rows_of_nnz
             hit = (rp == rmax[rows]) & roots[indices] & join[rows]
             # first hit per row wins
             first = np.zeros(n, dtype=np.int64)
@@ -144,16 +163,17 @@ def aggregate_nodes(S: sp.csr_matrix, seed: int = 0,
 
     # phase 2: attach stragglers to any aggregated neighbor
     for _ in range(4):
+        agg_nnz = agg[indices]
         cand = agg < 0
         if not cand.any():
             break
-        ap = np.where(agg[indices] >= 0, prio[indices], -1.0)
-        amax = _segment_max(ap, indptr, -1.0)
+        ap = np.where(agg_nnz >= 0, prio_nnz, -1.0)
+        amax = seg_max(ap, -1.0)
         join = cand & (amax >= 0.0)
         if not join.any():
             break
-        rows = np.repeat(np.arange(n), np.diff(indptr))
-        hit = (ap == amax[rows]) & (agg[indices] >= 0) & join[rows]
+        rows = rows_of_nnz
+        hit = (ap == amax[rows]) & (agg_nnz >= 0) & join[rows]
         first = np.zeros(n, dtype=np.int64)
         idx = np.flatnonzero(hit)
         first[rows[idx[::-1]]] = indices[idx[::-1]]
@@ -378,6 +398,20 @@ class DenseMat:
         return jnp.matmul(self.M, x, precision=jax.lax.Precision.HIGHEST)
 
 
+def _densify_ell(ell: ELLMatrix, n: int, ddt) -> jnp.ndarray:
+    """Dense [n, n] device matrix from a padded-ELL level: scatter the
+    ~MB-scale sparse data into a device-allocated zero block and cast
+    there.  ELL padding entries carry (col 0, val 0.0), so the
+    scatter-add is exact.  Replaces host ``toarray()`` + host bf16
+    conversion (GB-scale transient + scalar-wise ml_dtypes cast)."""
+    def go(cols, vals):
+        rows = jnp.broadcast_to(
+            jnp.arange(cols.shape[0], dtype=jnp.int32)[:, None], cols.shape)
+        M = jnp.zeros((n, n), vals.dtype).at[rows, cols].add(vals)
+        return M.astype(ddt)
+    return jax.jit(go)(ell.cols, ell.vals)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class _Level:
@@ -528,15 +562,22 @@ class SAAMG:
                     "AMG level %d (%d rows) densified for MXU matvecs "
                     "(%.1f MiB device)", len(levels) + 1, nrows,
                     dense_bytes / 2**20)
-            # densify via a narrow dtype (a float64 toarray transient at
-            # 16k rows would cost 2 GiB host RAM); f32 solves store the
-            # level bf16 (see DenseMat)
+            # densify ON DEVICE from the sparse form: a host toarray at
+            # 18k rows is a 1.3 GiB transient and the host f32->bf16
+            # elementwise cast measured ~11 s (ml_dtypes converts
+            # scalar-wise); scattering the ~MB-scale ELL data into a
+            # device-allocated dense block and casting there is
+            # milliseconds and ships 100x fewer bytes through the TPU
+            # tunnel.  f32 solves store the level bf16 (see DenseMat)
             ddt = jnp.bfloat16 if np.dtype(dtype) == np.float32 else dtype
-            A_dev = (DenseMat(jnp.asarray(
-                         Al.astype(np.float32).toarray(), dtype=ddt))
-                     if use_dense
-                     else csr_to_ell(Al.indptr, Al.indices, Al.data,
-                                     dtype=dtype))
+            if use_dense:
+                ell = csr_to_ell(Al.indptr, Al.indices, Al.data,
+                                 dtype=jnp.float32 if ddt == jnp.bfloat16
+                                 else dtype)
+                A_dev = DenseMat(_densify_ell(ell, nrows, ddt))
+            else:
+                A_dev = csr_to_ell(Al.indptr, Al.indices, Al.data,
+                                   dtype=dtype)
             if factored:
                 m = B.shape[1]
                 fc, fv = _csr_rows_padded(P0, m)
