@@ -258,3 +258,68 @@ def test_general_maps_multi_round_schedule():
         ng = int(gm.ghost_counts[s])
         sl = slice(gm.max_owned, gm.max_owned + ng)
         assert np.allclose(z[s, sl], xg[gm.local_gids[s, sl]])
+
+
+@pytest.mark.parametrize("nshards", [2, 8])
+def test_rowshard_distributed_l1_matches_single(nshards):
+    """amg_dense_level_limit=0 keeps level 1 sparse, which routes it
+    through the DISTRIBUTED level-1 path (row-sharded by aggregate
+    ownership, restriction exchanged at boundary-aggregate size).
+    Iteration counts and solutions must match the single-device SA-AMG
+    built from the same hierarchy options."""
+    mesh = BoxTetMesh(8, 9, 10)
+    space = FunctionSpace(mesh, 2)
+    bc = DirichletBC.from_space(
+        space, mesh.locate_boundary_facets(common.poisson_bc_marker))
+    _, csr = assemble_operator(space, bc, "poisson", dtype=np.float64)
+    from tpufem.problems.poisson import assemble_poisson_rhs_np
+    b = assemble_poisson_rhs_np(space)
+    b[bc.flat_dofs()] = 0.0
+    opts = SolverOptions(amg_dense_level_limit=0,
+                          amg_coarse_eq_limit=50)
+    from tpufem.fem.assemble import assemble_operator as _ao
+    A, _ = _ao(space, bc, "poisson", dtype=np.float64)
+    amg = SAAMG.setup(csr, bs=bc.bs, options=opts, dtype=jnp.float64,
+                      bc_mask=bc.mask())
+    assert len(amg.levels) >= 2  # the test needs a sparse level 1
+    x1, it1, _ = cg_solve(A.matvec, jnp.asarray(b), precond=amg.vcycle,
+                          rtol=1e-8, maxit=100)
+    sh = ShardedEllSolver.build(space, bc, csr, b, nshards,
+                                SolverOptions(amg_dense_level_limit=0,
+                                              amg_coarse_eq_limit=50),
+                                dtype=jnp.float64, rtol=1e-8, maxit=100)
+    assert sh.dist_l1, "sparse level 1 must take the distributed path"
+    xs, its, _rel = sh.solve()
+    assert abs(its - int(it1)) <= 1
+    err = np.abs(xs - np.asarray(x1)).max() / np.abs(np.asarray(x1)).max()
+    assert err < 1e-9
+
+
+def test_rowshard_distributed_l1_comm_payload():
+    """With level 1 distributed, the V-cycle's only psum is at the
+    SECOND-coarse size (nc1); the fine->coarse restriction moves only
+    boundary-aggregate partials through ghost-sized ppermutes."""
+    mesh = BoxTetMesh(8, 9, 10)
+    space = FunctionSpace(mesh, 2)
+    bc = DirichletBC.from_space(
+        space, mesh.locate_boundary_facets(common.poisson_bc_marker))
+    _, csr = assemble_operator(space, bc, "poisson", dtype=np.float64)
+    from tpufem.problems.poisson import assemble_poisson_rhs_np
+    b = assemble_poisson_rhs_np(space)
+    b[bc.flat_dofs()] = 0.0
+    sh = ShardedEllSolver.build(space, bc, csr, b, 4,
+                                SolverOptions(amg_dense_level_limit=0,
+                                              amg_coarse_eq_limit=50),
+                                dtype=jnp.float64, rtol=1e-8, maxit=100)
+    assert sh.dist_l1 and 0 < sh.nc1 < sh.nc0
+    jaxpr = jax.make_jaxpr(sh._build_program())(sh.data, sh.repl, sh.suffix)
+    prims = _collect_prims(jaxpr.jaxpr, [])
+    names = {n for n, _ in prims}
+    assert "all_gather" not in names, "fine-sized all_gather regressed"
+    for n, avals in prims:
+        if n.startswith("psum"):
+            for a in avals:
+                if a is not None and hasattr(a, "size"):
+                    assert a.size <= sh.nc1, (
+                        f"psum payload {a.size} exceeds second-coarse "
+                        f"size {sh.nc1}")

@@ -16,17 +16,21 @@ create_mesh at src/mesh.cpp:362-368).  TPU-native design:
   followed by a forward ghost refresh (a static ppermute schedule,
   tpufem.parallel.gmap.GeneralIndexMaps.fwd).  No reverse scatter is
   needed: rows are never split across shards;
-- **preconditioner**: SA-AMG with the FINE level distributed (sharded
-  Chebyshev smoothing, sharded restriction over owned rows, sharded
-  prolongation) and the coarser levels replicated on every shard.  The
-  only per-V-cycle collective beyond the smoother's halo refreshes is
-  ONE ``psum`` of the restricted residual at the FIRST COARSE size
-  (O(N/8) of the fine level): each shard scatter-adds P^T r over its
-  owned fine rows into a coarse-length accumulator and the psum
-  combines cross-shard aggregates.  This mirrors the slab solver's
-  replicated-suffix design (tpufem.parallel.slab) and keeps iteration
-  counts identical to the single-device SA-AMG (same hierarchy, same
-  arithmetic up to summation order);
+- **preconditioner**: SA-AMG with the FINE level always distributed
+  (sharded Chebyshev smoothing, sharded restriction over owned rows,
+  sharded prolongation).  Level 1 is ALSO distributed whenever it is
+  stored sparse (above ``amg_dense_level_limit``): its rows are
+  row-sharded by aggregate ownership (a coarse dof lives where its
+  heaviest fine row lives, so transfers are shard-local except at
+  subdomain boundaries) with its own edge-colored ppermute schedule;
+  the fine->coarse restriction then exchanges only BOUNDARY-aggregate
+  partial sums (a reverse scatter at ghost size), and the only psum in
+  the V-cycle is at the SECOND coarse size (O(N/750)).  Below the
+  dense limit, level 1 is a replicated bf16 dense MXU level and the
+  restriction is combined by ONE psum at first-coarse size (O(N/30)) —
+  at that size replication is faster than latency-bound tiny
+  collectives.  Either way iteration counts match the single-device
+  SA-AMG (same hierarchy, same arithmetic up to summation order);
 - **reductions**: owned-masked psum dots (MPI_Allreduce of cg.h:65).
 
 Everything runs inside ONE jitted shard_map program.
@@ -44,6 +48,7 @@ import numpy as np
 import scipy.sparse as sp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from tpufem.fem.assemble import ELLMatrix
 from tpufem.la.cg import cg_solve
 from tpufem.la.chebyshev import (chebyshev_smoother,
                                  chebyshev_smoother_zero)
@@ -86,6 +91,12 @@ class ShardedEllSolver:
     lmax0: float
     has_fine_level: bool
     nc0: int = 0               # first-coarse size (psum payload length)
+    # distributed level 1 (sparse levels only; see module docstring)
+    dist_l1: bool = False
+    lmax1: float = 1.0
+    nc1: int = 0               # second-coarse size (psum payload length)
+    c_rounds: Tuple = ()       # level-1 ppermute schedule
+    max_owned_c: int = 0
     _cache: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
@@ -137,6 +148,7 @@ class ShardedEllSolver:
         repl = {}
         suffix = None
         lmax0 = 1.0
+        dist_l1 = False
         dinv_loc = np.zeros((S, gmap.nlocal), dtype=npdtype)
         degree = 2
         if not precond:
@@ -175,9 +187,104 @@ class ShardedEllSolver:
                 p_cols[s, dst] = Pc[sl]
                 p_vals[s, dst] = Pv[sl]
             from tpufem.la.amg import SAAMG as _S
-            suffix = _S(levels=amg.levels[1:], coarse_inv=amg.coarse_inv,
-                        smoother_degree=amg.smoother_degree,
-                        level_sizes=amg.level_sizes[1:])
+            # distribute level 1 whenever it is stored sparse (above the
+            # dense-MXU limit) — i.e. exactly when replicating it would
+            # not weak-scale; a dense level stays replicated (faster
+            # than latency-bound collectives at O(N/30))
+            nc0_ = int(amg.level_sizes[1])
+            dist_l1 = (len(amg.levels) >= 2
+                       and isinstance(amg.levels[1].A, ELLMatrix))
+            if dist_l1:
+                lv1 = amg.levels[1]
+                lmax1 = lv1.lmax
+                A1c = np.asarray(lv1.A.cols).astype(np.int64)
+                A1v = np.asarray(lv1.A.vals)
+                K1 = A1c.shape[1]
+                # coarse ownership: a coarse dof lives on the shard that
+                # owns its heaviest-|P| fine row (keeps transfers local
+                # except at subdomain boundaries); P-less (inert) coarse
+                # dofs default to shard 0 (their row is unit diagonal)
+                rowsf = np.repeat(np.arange(Pc.shape[0]), Kp)
+                colsf = Pc.reshape(-1).astype(np.int64)
+                valsf = np.abs(np.asarray(Pv, dtype=np.float64)).reshape(-1)
+                mnz = valsf > 0.0
+                ordc = np.lexsort((-valsf[mnz], colsf[mnz]))
+                cc, rrows = colsf[mnz][ordc], rowsf[mnz][ordc]
+                firstpos = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
+                owner_c = np.zeros(nc0_, dtype=np.int64)
+                owner_c[cc[firstpos]] = owner_of[rrows[firstpos]]
+                # local coarse sets: owned rows + their A1 columns + the
+                # P-columns of every local fine slot (+ dof 0, the ELL
+                # padding target, so local_of_global never misses)
+                csets = []
+                for s in range(S):
+                    no = int(gmap.owned_counts[s])
+                    ng = int(gmap.ghost_counts[s])
+                    sl = np.concatenate(
+                        [gmap.local_gids[s, :no],
+                         gmap.local_gids[s, gmap.max_owned:
+                                         gmap.max_owned + ng]])
+                    own_rows = np.flatnonzero(owner_c == s)
+                    csets.append(np.unique(np.concatenate(
+                        [own_rows, Pc[sl].reshape(-1).astype(np.int64),
+                         A1c[own_rows].reshape(-1),
+                         np.zeros(1, dtype=np.int64)])))
+                gmap_c = build_general_maps(csets, owner_c)
+                c_ell_cols = np.zeros((S, gmap_c.max_owned, K1),
+                                      dtype=np.int32)
+                c_ell_vals = np.zeros((S, gmap_c.max_owned, K1),
+                                      dtype=npdtype)
+                c_dinv = np.zeros((S, gmap_c.nlocal), dtype=npdtype)
+                d1 = np.asarray(lv1.dinv, dtype=np.float64)
+                P1c = np.asarray(lv1.P.cols).astype(np.int64)
+                P1v = np.asarray(lv1.P.vals)
+                Kp1 = P1c.shape[1]
+                p1_cols = np.zeros((S, gmap_c.nlocal, Kp1), dtype=np.int32)
+                p1_vals = np.zeros((S, gmap_c.nlocal, Kp1), dtype=npdtype)
+                p_cols_loc = np.zeros((S, gmap.nlocal, Kp), dtype=np.int32)
+                for s in range(S):
+                    noc = int(gmap_c.owned_counts[s])
+                    ngc = int(gmap_c.ghost_counts[s])
+                    own_rows = gmap_c.local_gids[s, :noc]
+                    if noc:
+                        lc = gmap_c.local_of_global(
+                            s, A1c[own_rows].reshape(-1))
+                        c_ell_cols[s, :noc] = lc.reshape(noc, K1)
+                        c_ell_vals[s, :noc] = A1v[own_rows]
+                    cslots = np.concatenate(
+                        [own_rows,
+                         gmap_c.local_gids[s, gmap_c.max_owned:
+                                           gmap_c.max_owned + ngc]])
+                    cdst = np.concatenate(
+                        [np.arange(noc),
+                         gmap_c.max_owned + np.arange(ngc)])
+                    c_dinv[s, cdst] = d1[cslots]
+                    # P1 rows for ALL local coarse slots: the level-2
+                    # correction is replicated, so e1 = x1 + P1 e2 is
+                    # consistent on ghosts without an exchange
+                    p1_cols[s, cdst] = P1c[cslots]
+                    p1_vals[s, cdst] = P1v[cslots]
+                    # fine-level P columns remapped to LOCAL coarse slots
+                    no = int(gmap.owned_counts[s])
+                    ng = int(gmap.ghost_counts[s])
+                    fsl = np.concatenate(
+                        [gmap.local_gids[s, :no],
+                         gmap.local_gids[s, gmap.max_owned:
+                                         gmap.max_owned + ng]])
+                    fdst = np.concatenate(
+                        [np.arange(no), gmap.max_owned + np.arange(ng)])
+                    p_cols_loc[s, fdst] = gmap_c.local_of_global(
+                        s, Pc[fsl].reshape(-1).astype(np.int64)
+                    ).reshape(fsl.shape[0], Kp)
+                suffix = _S(levels=amg.levels[2:],
+                            coarse_inv=amg.coarse_inv,
+                            smoother_degree=amg.smoother_degree,
+                            level_sizes=amg.level_sizes[2:])
+            else:
+                suffix = _S(levels=amg.levels[1:],
+                            coarse_inv=amg.coarse_inv,
+                            smoother_degree=amg.smoother_degree,
+                            level_sizes=amg.level_sizes[1:])
         elif precond:
             suffix = amg  # levels empty -> vcycle = dense coarse solve
 
@@ -194,8 +301,23 @@ class ShardedEllSolver:
                 b_global.astype(np.float64)).astype(npdtype)),
         )
         if has_fine:
-            data_d["p_cols"] = jnp.asarray(p_cols)
             data_d["p_vals"] = jnp.asarray(p_vals)
+            if dist_l1:
+                data_d["p_cols_loc"] = jnp.asarray(p_cols_loc)
+                data_d["c_ell_cols"] = jnp.asarray(c_ell_cols)
+                data_d["c_ell_vals"] = jnp.asarray(c_ell_vals)
+                data_d["c_dinv"] = jnp.asarray(c_dinv)
+                data_d["c_owned_mask"] = jnp.asarray(gmap_c.owned_mask)
+                data_d["c_send_idx"] = jnp.asarray(
+                    gmap_c.send_idx.astype(np.int32))
+                data_d["c_send_mask"] = jnp.asarray(gmap_c.send_mask)
+                data_d["c_recv_idx"] = jnp.asarray(
+                    gmap_c.recv_idx.astype(np.int32))
+                data_d["c_recv_mask"] = jnp.asarray(gmap_c.recv_mask)
+                data_d["p1_cols"] = jnp.asarray(p1_cols)
+                data_d["p1_vals"] = jnp.asarray(p1_vals)
+            else:
+                data_d["p_cols"] = jnp.asarray(p_cols)
         repl["local_gids"] = jnp.asarray(gmap.local_gids.astype(np.int32))
         repl["owned_mask_all"] = jnp.asarray(gmap.owned_mask)
 
@@ -208,7 +330,12 @@ class ShardedEllSolver:
                    ndofs=N, S=S, mesh_axis=mesh_axis, rtol=rtol,
                    maxit=maxit, smoother_degree=degree,
                    lmax0=lmax0, has_fine_level=has_fine,
-                   nc0=int(amg.level_sizes[1]) if has_fine else 0)
+                   nc0=int(amg.level_sizes[1]) if has_fine else 0,
+                   dist_l1=dist_l1,
+                   lmax1=lmax1 if dist_l1 else 1.0,
+                   nc1=(int(amg.level_sizes[2]) if dist_l1 else 0),
+                   c_rounds=gmap_c.rounds if dist_l1 else (),
+                   max_owned_c=gmap_c.max_owned if dist_l1 else 0)
 
     # -- jitted SPMD program -------------------------------------------------
     def _build_program(self):
@@ -221,6 +348,11 @@ class ShardedEllSolver:
         nc0 = self.nc0
         rounds = gm.rounds
         max_owned = gm.max_owned
+        dist_l1 = self.dist_l1
+        lmax1 = self.lmax1
+        nc1 = self.nc1
+        c_rounds = self.c_rounds
+        max_owned_c = self.max_owned_c
 
         def shard_fn(d, repl, suffix):
             d = {k: v[0] for k, v in d.items()}
@@ -260,19 +392,84 @@ class ShardedEllSolver:
                 # residual-tracking pre-smoothing from zero (mirrors
                 # la.gmg.GMG.vcycle; one scanned spmv instance)
                 x, rr = smooth0(r)
-                # restriction rc = P^T rr, owner-computes: scatter-add
-                # each OWNED fine row's P-row into a coarse-length
-                # accumulator; ONE psum at coarse size (O(N/8)) combines
-                # the shard partials.  No fine-sized collective anywhere
-                # in the V-cycle (asserted by test_rowshard's jaxpr
-                # payload check).
                 rro = jnp.where(d["owned_mask"], rr, 0.0)
                 contrib = d["p_vals"] * rro[:, None]
-                rc_loc = jnp.zeros(nc0, r.dtype).at[
-                    d["p_cols"].reshape(-1)].add(contrib.reshape(-1))
-                rc = jax.lax.psum(rc_loc, "shard")
-                ec = suffix.vcycle(rc)
-                e = jnp.sum(d["p_vals"] * ec[d["p_cols"]], axis=1)
+                if not dist_l1:
+                    # replicated (dense-MXU) level 1: restriction
+                    # rc = P^T rr, owner-computes — scatter-add each
+                    # OWNED fine row's P-row into a coarse-length
+                    # accumulator; ONE psum at coarse size (O(N/30))
+                    # combines the shard partials.  No fine-sized
+                    # collective anywhere in the V-cycle (asserted by
+                    # test_rowshard's jaxpr payload check).
+                    rc = jax.lax.psum(
+                        jnp.zeros(nc0, r.dtype).at[
+                            d["p_cols"].reshape(-1)].add(
+                            contrib.reshape(-1)), "shard")
+                    ec = suffix.vcycle(rc)
+                    e = jnp.sum(d["p_vals"] * ec[d["p_cols"]], axis=1)
+                    return smooth(x + e, r)
+
+                # DISTRIBUTED level 1 (sparse levels): restriction lands
+                # in LOCAL coarse slots; boundary-aggregate partials are
+                # accumulated into owners by a reverse scatter (ghost-
+                # sized ppermutes, not a coarse-sized psum) and ghosts
+                # refreshed forward.
+                def c_fwd(y):
+                    for cr, perm in enumerate(c_rounds):
+                        vals = jnp.where(d["c_send_mask"][cr],
+                                         y[d["c_send_idx"][cr]], 0.0)
+                        recv = jax.lax.ppermute(vals, "shard", perm)
+                        upd = jnp.where(d["c_recv_mask"][cr], recv,
+                                        y[d["c_recv_idx"][cr]])
+                        y = y.at[d["c_recv_idx"][cr]].set(upd)
+                    return y
+
+                def c_rev_add(y):
+                    for cr, perm in enumerate(c_rounds):
+                        rperm = [(b2, a2) for (a2, b2) in perm]
+                        vals = jnp.where(d["c_recv_mask"][cr],
+                                         y[d["c_recv_idx"][cr]], 0.0)
+                        recv = jax.lax.ppermute(vals, "shard", rperm)
+                        y = y.at[d["c_send_idx"][cr]].add(
+                            jnp.where(d["c_send_mask"][cr], recv, 0.0))
+                    return y
+
+                def spmv1(xc):
+                    y_own = jnp.sum(d["c_ell_vals"] * xc[d["c_ell_cols"]],
+                                    axis=1)
+                    y = jnp.zeros_like(xc).at[:max_owned_c].set(y_own)
+                    return c_fwd(y)
+
+                rc_loc = jnp.zeros(d["c_dinv"].shape[0], r.dtype).at[
+                    d["p_cols_loc"].reshape(-1)].add(contrib.reshape(-1))
+                rc_loc = c_rev_add(rc_loc)
+                # owners now hold full sums; ghost slots hold stale
+                # partials — refresh them forward for a consistent rhs
+                rc_loc = c_fwd(rc_loc.at[max_owned_c:].set(0.0))
+
+                smooth1 = chebyshev_smoother(spmv1, d["c_dinv"], lmax1,
+                                             degree=degree)
+                smooth01 = chebyshev_smoother_zero(spmv1, d["c_dinv"],
+                                                   lmax1, degree=degree)
+                x1, rr1 = smooth01(rc_loc)
+                # level-1 -> level-2 restriction: owned coarse rows into
+                # a SECOND-coarse accumulator; the V-cycle's only psum is
+                # this O(N/750) payload
+                rr1o = jnp.where(d["c_owned_mask"], rr1, 0.0)
+                rc2 = jax.lax.psum(
+                    jnp.zeros(nc1, r.dtype).at[
+                        d["p1_cols"].reshape(-1)].add(
+                        (d["p1_vals"] * rr1o[:, None]).reshape(-1)),
+                    "shard")
+                e2 = suffix.vcycle(rc2)   # replicated levels[2:]
+                # e2 is replicated, and p1 rows exist for ALL local
+                # coarse slots, so e1 is ghost-consistent with no
+                # exchange; smoothing preserves consistency (spmv1 ends
+                # with a forward refresh)
+                e1 = x1 + jnp.sum(d["p1_vals"] * e2[d["p1_cols"]], axis=1)
+                e1 = smooth1(e1, rc_loc)
+                e = jnp.sum(d["p_vals"] * e1[d["p_cols_loc"]], axis=1)
                 return smooth(x + e, r)
 
             def dot(u, v):
