@@ -120,9 +120,30 @@ def test_sharded_unpreconditioned_cg():
     assert err < 1e-8
 
 
+def test_sharded_pk_elasticity_matches_single_device():
+    """Sharded P2 elasticity (bs=3 + p-coarsening on slabs) — the last
+    configuration that used to fall back to rowshard — must match the
+    single-device GMG exactly."""
+    mesh = BoxTetMesh(8, 8, 16)
+    sh = ShardedCubeSolver.build(mesh, 2, problem="elasticity", order=2,
+                                 dtype=jnp.float64, rtol=1e-8, maxit=60,
+                                 gather_limit=500)
+    assert sh.levels[0].order == 2 and sh.levels[1].order == 1
+    xs, its, rels = sh.solve()
+    x1, it1, rel1 = _single_device(mesh, "elasticity", order=2)
+    assert its == it1
+    assert rels < 1e-8
+    err = np.abs(xs - x1).max() / np.abs(x1).max()
+    assert err < 1e-10
+
+
 def test_sharded_rejects_bad_shapes():
+    from tpufem.parallel.slab import slab_gmg_viable
     with pytest.raises(ValueError, match="not divisible"):
         ShardedCubeSolver.build(BoxTetMesh(8, 8, 10), 4)
-    with pytest.raises(NotImplementedError):
-        ShardedCubeSolver.build(BoxTetMesh(8, 8, 16), 4, order=2,
-                                problem="elasticity")
+    # the CLI's routing predicate mirrors build()'s preconditions
+    assert slab_gmg_viable(BoxTetMesh(8, 8, 16), 4)
+    assert not slab_gmg_viable(BoxTetMesh(8, 8, 10), 4)   # Nz % S != 0
+    assert not slab_gmg_viable(BoxTetMesh(8, 8, 8), 4)    # odd slabs
+    assert not slab_gmg_viable(BoxTetMesh(4, 4, 8), 2,
+                               coarse_limit=1000)         # no chain

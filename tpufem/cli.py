@@ -115,15 +115,13 @@ def solve(cfg: Config) -> Tuple[int, float]:
     logger = init_logging(rank=proc_id)
     num_shards = cfg.num_shards or len(jax.devices())
 
-    # multi-shard execution: slab-sharded SPMD on the cube path — P1
-    # (scalar and elasticity) and scalar P2/P3 via the sharded
-    # p-coarsening level (tpufem.parallel.slab); blocked higher orders
-    # and unstructured meshes use the row-sharded assembled path
-    # (tpufem.parallel.rowshard) — every CLI configuration executes
-    # distributed under --num_shards
-    use_sharded = (num_shards > 1 and cfg.mesh_type == "cube"
-                   and (cfg.order == 1
-                        or cfg.problem_type != "elasticity"))
+    # multi-shard execution: slab-sharded SPMD GMG on the cube path for
+    # every order (scalar and elasticity; orders >= 2 add the sharded
+    # p-coarsening level, tpufem.parallel.slab); unstructured meshes —
+    # and cube meshes too small to carry a sharded multigrid chain —
+    # use the row-sharded assembled path (tpufem.parallel.rowshard), so
+    # every CLI configuration executes distributed under --num_shards
+    use_sharded = num_shards > 1 and cfg.mesh_type == "cube"
     use_rowshard = num_shards > 1 and not use_sharded
     if (use_sharded or use_rowshard) and len(jax.devices()) < num_shards:
         raise SystemExit(
@@ -174,6 +172,16 @@ def solve(cfg: Config) -> Tuple[int, float]:
     from tpufem.problems import cgpoisson, elasticity, poisson
     problems = {"poisson": poisson.problem, "cgpoisson": cgpoisson.problem,
                 "elasticity": elasticity.problem}
+    if use_sharded and cfg.problem_type != "cgpoisson":
+        from tpufem.parallel.slab import slab_gmg_viable
+        if not slab_gmg_viable(
+                mesh, num_shards, bs=cfg.dofs_per_node,
+                coarse_limit=int(cfg.solver.get("amg_coarse_eq_limit"))):
+            logger.info("cube mesh %dx%dx%d too small for a sharded "
+                        "multigrid chain over %d slabs; using the "
+                        "row-sharded path", mesh.Nx, mesh.Ny, mesh.Nz,
+                        num_shards)
+            use_sharded, use_rowshard = False, True
     if use_sharded:
         from tpufem.problems import sharded
         prob = sharded.problem(mesh, cfg.order, cfg, cfg.problem_type,

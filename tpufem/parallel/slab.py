@@ -74,6 +74,20 @@ def _level_chain(mesh: BoxTetMesh, bs: int, coarse_limit: int,
     return chain
 
 
+def slab_gmg_viable(mesh: BoxTetMesh, nshards: int, bs: int = 1,
+                    coarse_limit: int = 1000,
+                    max_levels: int = 12) -> bool:
+    """True when ShardedCubeSolver.build can shard this mesh with a
+    multigrid hierarchy: the finest level's z extent must split into
+    equal EVEN slabs and at least one coarser level must exist (the
+    same conditions build() raises on).  The CLI uses this to route
+    small/indivisible cube configs to the rowshard fallback instead of
+    erroring."""
+    chain = _level_chain(mesh, bs, coarse_limit, max_levels)
+    return (len(chain) >= 2 and mesh.Nz % nshards == 0
+            and (mesh.Nz // nshards) % 2 == 0)
+
+
 def slab_global_ids(mesh: BoxTetMesh, order: int, nzl: int, S: int,
                     bs: int = 1):
     """[S, nloc] global flat dof indices of each slab's local dofs.
@@ -160,10 +174,6 @@ class ShardedCubeSolver:
         shards over the SAME z-slabs, restrict_p/prolong_p act slab-
         locally, and interface-plane contributions ride the same halo.
         Reference: order-3 runs on 2 ranks in CI (ccpp.yml:86-101)."""
-        if order > 1 and problem == "elasticity":
-            raise NotImplementedError(
-                "sharded elasticity is P1 on the slab path; higher "
-                "orders run row-sharded (tpufem.parallel.rowshard)")
         from tpufem.fem.dirichlet import DirichletBC
         from tpufem.fem.space import FunctionSpace
         from tpufem.problems import common
