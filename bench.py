@@ -120,10 +120,16 @@ def main() -> None:
     extra = {"backend": jax.default_backend(),
              "device": str(jax.devices()[0])}
     log(f"backend={extra['backend']} device={extra['device']}")
+    # host-page prefault (overlaps the device warm-up below): this VM
+    # provisions guest pages lazily at ~16-80 MB/s first touch, so warm
+    # the malloc pool for the setup phases off the critical path
+    from tpufem.hostmem import prefault
+    pf = prefault(2 << 30, background=True)
     # device/tunnel warm-up: the first computation pays a large, highly
     # variable session-init cost that must not pollute stage timings
     jax.block_until_ready(jnp.ones(8) + 1.0)
-    log("device warm-up done")
+    pf.join()
+    log("device warm-up done (host pool prefaulted)")
 
     from tpufem.config import Config, SolverOptions
     from tpufem.mesh import BoxTetMesh

@@ -147,14 +147,21 @@ def test_factored_fine_transfers_match_ell():
                       fine_factored=True)
     assert fac.levels[0].fw is not None and fac.levels[0].P is None
     assert ell.levels[0].fw is None
+    # the factored fine level stores NO assembled operator (nothing is
+    # uploaded for it); a vcycle without fine_matvec must refuse
+    assert fac.levels[0].A is None
+    with pytest.raises(ValueError, match="fine_matvec"):
+        fac.vcycle(b)
+    mv = ell.levels[0].A.matvec
     assert fac.level_sizes == ell.level_sizes
     ve = np.asarray(ell.vcycle(b))
-    vf = np.asarray(fac.vcycle(b))
+    vf = np.asarray(fac.vcycle(b, fine_matvec=mv))
     assert np.abs(ve - vf).max() < 1e-12 * np.abs(ve).max()
     # preconditioned CG through the factored form converges identically
-    _, ite, rele = cg_solve(ell.levels[0].A.matvec, b,
+    _, ite, rele = cg_solve(mv, b,
                             precond=ell.vcycle, rtol=1e-8, maxit=50)
-    _, itf, relf = cg_solve(fac.levels[0].A.matvec, b,
-                            precond=fac.vcycle, rtol=1e-8, maxit=50)
+    _, itf, relf = cg_solve(mv, b,
+                            precond=lambda r: fac.vcycle(r, fine_matvec=mv),
+                            rtol=1e-8, maxit=50)
     assert float(relf) < 1e-8
     assert int(ite) == int(itf)

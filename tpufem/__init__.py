@@ -20,4 +20,8 @@ citations in docstrings point at the call sites that pin down semantics.
 
 __version__ = "0.1.0"
 
-from tpufem.config import Config, SolverOptions  # noqa: F401
+from tpufem.hostmem import tune_allocator as _tune_allocator
+
+_tune_allocator()  # pool large numpy setup temporaries (see hostmem.py)
+
+from tpufem.config import Config, SolverOptions  # noqa: F401,E402

@@ -115,6 +115,13 @@ def solve(cfg: Config) -> Tuple[int, float]:
     logger = init_logging(rank=proc_id)
     num_shards = cfg.num_shards or len(jax.devices())
 
+    # warm the malloc pool in the background while setup waits on the
+    # device/tunnel (this VM first-touches pages at ~16-80 MB/s; see
+    # tpufem.hostmem) — sized to the setup-phase working set
+    from tpufem.hostmem import prefault
+    prefault(min(2 << 30, max(256 << 20, 2048 * cfg.ndofs)),
+             background=True)
+
     # multi-shard execution: slab-sharded SPMD GMG on the cube path for
     # every order (scalar and elasticity; orders >= 2 add the sharded
     # p-coarsening level, tpufem.parallel.slab); unstructured meshes —

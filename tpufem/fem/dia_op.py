@@ -645,10 +645,21 @@ class DiaOperator:
                         cols_l.append(cc.ravel() * bs + s_)
                         vals_l.append(w.ravel())
         n = lay.ndofs * bs
-        A = sp.coo_matrix(
-            (np.concatenate(vals_l),
-             (np.concatenate(rows_l), np.concatenate(cols_l))),
-            shape=(n, n)).tocsr()
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
+        vals = np.concatenate([np.asarray(v, dtype=np.float64)
+                               for v in vals_l])
+        # single-pass native COO->CSR (radix sort + dedup-sum + zero
+        # elimination): scipy's coo->csr + sum_duplicates lexsorts the
+        # ~7M triplets with comparison sorts and many full-size numpy
+        # passes (~4.5-6 s at 500k on the 1-vCPU host) where the C++
+        # sweep is ~0.5 s
+        from tpufem import native
+        got = native.coo_to_csr_dedup(rows, cols, vals, n)
+        if got is not None:
+            indptr, ucols, av = got
+            return sp.csr_matrix((av, ucols, indptr), shape=(n, n))
+        A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
         A.sum_duplicates()
         A.eliminate_zeros()
         return A

@@ -21,12 +21,16 @@ Split of labor (the TPU-idiomatic design):
 from __future__ import annotations
 
 import dataclasses
+import logging
+import time
 from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+
+logger = logging.getLogger("tpufem")
 
 from tpufem.fem.assemble import ELLMatrix, csr_to_ell
 from tpufem.la.chebyshev import (chebyshev_smoother,
@@ -93,18 +97,29 @@ def _segment_max(vals: np.ndarray, indptr: np.ndarray, default: float) -> np.nda
 
 def aggregate_nodes(S: sp.csr_matrix, seed: int = 0,
                     max_rounds: int = 64) -> Tuple[np.ndarray, int]:
-    """Parallel (Luby-style randomized MIS) aggregation.
+    """Vanek-Mandel-Brezina aggregation, randomized by ``seed``.
 
-    Vectorized equivalent of greedy Vanek-Mandel-Brezina aggregation:
-    local-priority-maximum unaggregated nodes become aggregate roots and
-    absorb their unaggregated strong neighbors; leftovers attach to a
-    neighboring aggregate.  Deterministic for a fixed seed.
+    Production path: one greedy serial pass in C++
+    (tpufem.native.aggregate_vmb — visiting nodes in a seeded random
+    order, phase-2 attach by strongest connection; ~0.1 s at 500k where
+    the numpy rounds below took 13 s on the 1-vCPU host).  Fallback
+    when the native build is unavailable: vectorized Luby-style
+    randomized-MIS rounds — same root-eligibility rule, so aggregate
+    statistics (and AMG iteration counts) are equivalent, not
+    bit-identical.  Deterministic for a fixed seed either way.
     Returns (agg [n] int64, num_aggregates).
     """
     n = S.shape[0]
     indptr, indices = S.indptr, S.indices
     rng = np.random.default_rng(seed)
-    prio = rng.permutation(n).astype(np.float64)
+    perm = rng.permutation(n)
+
+    from tpufem import native
+    got = native.aggregate_vmb(indptr, indices, S.data, perm)
+    if got is not None:
+        return got
+
+    prio = perm.astype(np.float64)
     agg = np.full(n, -1, dtype=np.int64)
     nagg = 0
     # invariants hoisted out of the rounds (each an O(nnz) pass that
@@ -398,18 +413,22 @@ class DenseMat:
         return jnp.matmul(self.M, x, precision=jax.lax.Precision.HIGHEST)
 
 
-def _densify_ell(ell: ELLMatrix, n: int, ddt) -> jnp.ndarray:
-    """Dense [n, n] device matrix from a padded-ELL level: scatter the
-    ~MB-scale sparse data into a device-allocated zero block and cast
-    there.  ELL padding entries carry (col 0, val 0.0), so the
-    scatter-add is exact.  Replaces host ``toarray()`` + host bf16
-    conversion (GB-scale transient + scalar-wise ml_dtypes cast)."""
-    def go(cols, vals):
-        rows = jnp.broadcast_to(
-            jnp.arange(cols.shape[0], dtype=jnp.int32)[:, None], cols.shape)
-        M = jnp.zeros((n, n), vals.dtype).at[rows, cols].add(vals)
+def _densify_csr(Al: sp.csr_matrix, n: int, ddt) -> jnp.ndarray:
+    """Dense [n, n] device matrix scattered directly from the CSR
+    triplets: ships nnz*(val+row+col) bytes through the TPU tunnel —
+    no padded-ELL intermediate (whose K_max padding tripled the upload
+    at wide coarse levels) and no host ``toarray()`` (GB-scale
+    transient + scalar-wise ml_dtypes bf16 cast)."""
+    rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(Al.indptr))
+
+    def go(r, c, v):
+        M = jnp.zeros((n, n), v.dtype).at[r, c].add(v)
         return M.astype(ddt)
-    return jax.jit(go)(ell.cols, ell.vals)
+    return jax.jit(go)(jnp.asarray(rows),
+                       jnp.asarray(Al.indices.astype(np.int32)),
+                       jnp.asarray(Al.data.astype(
+                           np.float32 if ddt == jnp.bfloat16
+                           else np.dtype(ddt))))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -502,11 +521,23 @@ class SAAMG:
         sizes = [n]
         lvl_bs = bs
         Al = A
+        ph = {"eig": 0.0, "strength": 0.0, "aggregate": 0.0,
+              "tentative": 0.0, "smoothP": 0.0, "galerkin": 0.0,
+              "device": 0.0}
+        t_total = time.perf_counter()
+
+        def _tick(key, t0):
+            ph[key] += time.perf_counter() - t0
+            return time.perf_counter()
+
         while Al.shape[0] > coarse_limit and len(levels) < max_levels - 1:
+            t0 = time.perf_counter()
             d = Al.diagonal()
             dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
             lmax = power_iteration_lmax(lambda v: Al @ v, dinv, Al.shape[0])
+            t0 = _tick("eig", t0)
             S = node_strength_graph(Al, lvl_bs, theta)
+            t0 = _tick("strength", t0)
             agg, nagg = aggregate_nodes(S, seed=len(levels))
             if len(levels) < agg_levels and nagg > 4 * coarse_limit:
                 # aggressive coarsening: pairwise (mutual-heaviest
@@ -529,12 +560,15 @@ class SAAMG:
                 S2.eliminate_zeros()
                 pair = match_pairs(S2)
                 agg, nagg = pair[agg], int(pair.max()) + 1
+            t0 = _tick("aggregate", t0)
             P0, Bc = tentative_prolongator(agg, nagg, B, lvl_bs)
             if P0.shape[1] == 0 or P0.shape[1] >= Al.shape[0]:
                 break  # no useful coarsening possible
+            t0 = _tick("tentative", t0)
             factored = fine_factored and len(levels) == 0
             P = smooth_prolongator(Al, P0, damping, lmax,
                                    filter_k=0 if factored else filter_k)
+            t0 = _tick("smoothP", t0)
             Ac = (P.T @ Al @ P).tocsr()
             Ac.sum_duplicates()
             # inert coarse dofs (rank-deficient aggregates): unit diagonal
@@ -546,6 +580,7 @@ class SAAMG:
                 Ac = Ac.tocsr()
 
             PT = P.T.tocsr()
+            t0 = _tick("galerkin", t0)
             # densification guard: a level just under dense_limit rows
             # would otherwise allocate rows^2 floats silently (16384^2
             # f32 = 1 GiB on device + a f64 host transient); cap the
@@ -570,11 +605,14 @@ class SAAMG:
             # milliseconds and ships 100x fewer bytes through the TPU
             # tunnel.  f32 solves store the level bf16 (see DenseMat)
             ddt = jnp.bfloat16 if np.dtype(dtype) == np.float32 else dtype
-            if use_dense:
-                ell = csr_to_ell(Al.indptr, Al.indices, Al.data,
-                                 dtype=jnp.float32 if ddt == jnp.bfloat16
-                                 else dtype)
-                A_dev = DenseMat(_densify_ell(ell, nrows, ddt))
+            if factored:
+                # the factored fine level never applies its own assembled
+                # operator (vcycle requires fine_matvec); skip the ELL
+                # build + device upload entirely — at 500k that is ~60 MB
+                # through the TPU tunnel and seconds of host padding
+                A_dev = None
+            elif use_dense:
+                A_dev = DenseMat(_densify_csr(Al, nrows, ddt))
             else:
                 A_dev = csr_to_ell(Al.indptr, Al.indices, Al.data,
                                    dtype=dtype)
@@ -599,6 +637,7 @@ class SAAMG:
                     dinv=jnp.asarray(dinv, dtype=dtype),
                     lmax=lmax,
                 ))
+            _tick("device", t0)
             Al = Ac
             B = Bc
             lvl_bs = B.shape[1]  # coarse levels carry m dofs per aggregate
@@ -610,6 +649,9 @@ class SAAMG:
         shift = 1e-12 * max(float(np.abs(Ad).max()), 1.0)
         coarse_inv = jnp.asarray(
             np.linalg.inv(Ad + shift * np.eye(Ad.shape[0])), dtype=dtype)
+        logger.info(
+            "SA-AMG setup %.2fs: levels %s | %s", time.perf_counter() - t_total,
+            sizes, " ".join(f"{k} {v:.2f}s" for k, v in ph.items() if v > 0.005))
         return cls(levels=levels, coarse_inv=coarse_inv,
                    smoother_degree=degree, level_sizes=sizes)
 
@@ -627,8 +669,15 @@ class SAAMG:
             return jnp.matmul(self.coarse_inv, r,
                               precision=jax.lax.Precision.HIGHEST)
         lv = self.levels[i]
-        mv = fine_matvec if (i == 0 and fine_matvec is not None) \
-            else lv.A.matvec
+        if i == 0 and fine_matvec is not None:
+            mv = fine_matvec
+        else:
+            if lv.A is None:
+                raise ValueError(
+                    "factored fine level stores no assembled operator; "
+                    "pass fine_matvec to vcycle (setup ran with "
+                    "fine_factored=True)")
+            mv = lv.A.matvec
         smooth = chebyshev_smoother(mv, lv.dinv, lv.lmax,
                                     degree=self.smoother_degree)
         smooth0 = chebyshev_smoother_zero(mv, lv.dinv, lv.lmax,

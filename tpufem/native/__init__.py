@@ -46,6 +46,17 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
         lib.unique_inverse_u64.restype = ctypes.c_int64
+        lib.aggregate_vmb.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.aggregate_vmb.restype = ctypes.c_int64
+        lib.coo_to_csr_dedup.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double)]
+        lib.coo_to_csr_dedup.restype = ctypes.c_int64
         return lib
     except Exception as e:  # pragma: no cover - toolchain-dependent
         logger.warning("native fastsetup unavailable (%s); numpy fallback", e)
@@ -94,3 +105,60 @@ def unique_inverse_u64(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return uniq[:nu].view(keys.dtype).copy(), inv
+
+
+def aggregate_vmb(indptr: np.ndarray, indices: np.ndarray,
+                  vals: Optional[np.ndarray],
+                  order: np.ndarray) -> Optional[Tuple[np.ndarray, int]]:
+    """Greedy Vanek-Mandel-Brezina aggregation over a CSR strength
+    graph: (agg [n] int64, n_agg), or None when the native library is
+    unavailable (callers fall back to the vectorized numpy Luby pass in
+    tpufem.la.amg)."""
+    lib = _get()
+    if lib is None:
+        return None
+    ip = np.ascontiguousarray(indptr, dtype=np.int64)
+    ix = np.ascontiguousarray(indices, dtype=np.int64)
+    od = np.ascontiguousarray(order, dtype=np.int64)
+    n = ip.shape[0] - 1
+    agg = np.empty(n, dtype=np.int64)
+    # keep the contiguous copy alive past the call (ctypes holds a raw
+    # pointer, not a reference)
+    vv = (np.ascontiguousarray(vals, dtype=np.float64)
+          if vals is not None else None)
+    vp = (vv.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+          if vv is not None else ctypes.POINTER(ctypes.c_double)())
+    nagg = lib.aggregate_vmb(
+        ip.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ix.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vp, ctypes.c_int64(n),
+        od.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        agg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return agg, int(nagg)
+
+
+def coo_to_csr_dedup(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                     n: int):
+    """Duplicate-summing, zero-eliminating COO -> CSR
+    (scipy ``tocsr + sum_duplicates + eliminate_zeros`` equivalent):
+    (indptr int64 [n+1], indices int32, data float64), or None when the
+    native library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(rows, dtype=np.int64)
+    c = np.ascontiguousarray(cols, dtype=np.int64)
+    v = np.ascontiguousarray(vals, dtype=np.float64)
+    nnz = r.shape[0]
+    indptr = np.empty(n + 1, dtype=np.int64)
+    out_cols = np.empty(nnz, dtype=np.int32)
+    out_vals = np.empty(nnz, dtype=np.float64)
+    kept = lib.coo_to_csr_dedup(
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(nnz), ctypes.c_int64(n),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return indptr, out_cols[:kept].copy(), out_vals[:kept].copy()
