@@ -1,26 +1,110 @@
-"""Native (C++) fastsetup primitives vs numpy."""
+"""Native (C++) host-setup accelerators vs their numpy/scipy twins.
+
+The native module backs the hottest host passes (sort/unique over
+entity keys, COO->CSR, AMG aggregation); each binding must agree with
+the pure-Python fallback it replaces (reference analogue: DOLFINx's
+C++ topology/sparsity kernels, src/mesh.cpp, validated against its
+Python layer).
+"""
 
 import numpy as np
+import pytest
+import scipy.sparse as sp
 
-from tpufem.native import argsort_u64, have_native, unique_inverse_u64
-
-
-def test_native_builds():
-    assert have_native()
+from tpufem import native
 
 
-def test_argsort_matches_numpy():
+pytestmark = pytest.mark.skipif(not native.have_native(),
+                                reason="native toolchain unavailable")
+
+
+def test_argsort_u64_matches_numpy():
     rng = np.random.default_rng(0)
-    for n in (0, 1, 7, 1000, 100003):
-        k = rng.integers(0, 1 << 48, n).astype(np.int64)
-        p = argsort_u64(k)
-        assert np.array_equal(k[p], np.sort(k))
+    keys = rng.integers(0, 2**63, size=10_000, dtype=np.int64)
+    keys[::17] = keys[0]  # duplicates: stability matters
+    perm = native.argsort_u64(keys)
+    ref = np.argsort(keys.view(np.uint64), kind="stable")
+    assert np.array_equal(perm, ref)
 
 
-def test_unique_inverse_matches_numpy():
+def test_unique_inverse_u64_matches_numpy():
     rng = np.random.default_rng(1)
-    k = rng.integers(0, 5000, 100000).astype(np.int64)
-    u1, i1 = unique_inverse_u64(k)
-    u2, i2 = np.unique(k, return_inverse=True)
-    assert np.array_equal(u1, u2)
-    assert np.array_equal(u1[i1], k)
+    keys = rng.integers(0, 1000, size=5000, dtype=np.int64)
+    uniq, inv = native.unique_inverse_u64(keys)
+    ru, rinv = np.unique(keys, return_inverse=True)
+    assert np.array_equal(uniq, ru)
+    assert np.array_equal(inv, rinv)
+
+
+def test_coo_to_csr_dedup_matches_scipy():
+    rng = np.random.default_rng(2)
+    n, nnz = 200, 5000
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    # force exact-zero sums (eliminate_zeros must drop them)
+    rows[10], cols[10], vals[10] = 5, 7, 1.5
+    rows[11], cols[11], vals[11] = 5, 7, -1.5
+    indptr, ucols, uvals = native.coo_to_csr_dedup(rows, cols, vals, n)
+    A = sp.csr_matrix((uvals, ucols, indptr), shape=(n, n))
+    R = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    R.sum_duplicates()
+    R.eliminate_zeros()
+    # identical pattern; values agree to rounding (duplicate summation
+    # order differs between the native sweep and scipy)
+    assert np.array_equal(A.indptr, R.indptr)
+    assert np.array_equal(A.indices, R.indices)
+    assert np.allclose(A.data, R.data, rtol=0, atol=1e-12)
+    assert A[5, 7] == 0.0 and 7 not in A.indices[A.indptr[5]:A.indptr[6]]
+
+
+def _laplace_strength(n1d: int):
+    """1D Laplacian off-diagonal pattern as a strength graph."""
+    n = n1d
+    main = np.zeros(n)
+    off = np.ones(n - 1)
+    A = sp.diags([off, main, off], [-1, 0, 1]).tocsr()
+    A.eliminate_zeros()
+    return A
+
+
+def test_aggregate_vmb_covers_all_nodes():
+    S = _laplace_strength(101)
+    n = S.shape[0]
+    order = np.random.default_rng(3).permutation(n)
+    agg, nagg = native.aggregate_vmb(S.indptr, S.indices, S.data, order)
+    assert agg.shape == (n,)
+    assert agg.min() >= 0 and agg.max() == nagg - 1
+    # every aggregate id in [0, nagg) is used
+    assert np.unique(agg).size == nagg
+    # path-graph aggregates are intervals of size <= 5 (root + 2
+    # phase-1 neighbors + one phase-2 joiner at each end)
+    for a in range(nagg):
+        members = np.flatnonzero(agg == a)
+        assert members.size <= 5
+        assert members.max() - members.min() == members.size - 1
+
+
+def test_aggregate_vmb_deterministic_and_connected():
+    rng = np.random.default_rng(4)
+    n = 500
+    G = sp.random(n, n, density=0.02, random_state=5, format="coo")
+    S = ((G + G.T).tocsr())
+    S.setdiag(0.0)
+    S.eliminate_zeros()
+    S.data[:] = np.abs(S.data)
+    order = rng.permutation(n)
+    a1, n1 = native.aggregate_vmb(S.indptr, S.indices, S.data, order)
+    a2, n2 = native.aggregate_vmb(S.indptr, S.indices, S.data, order)
+    assert n1 == n2 and np.array_equal(a1, a2)
+    # each non-singleton aggregate is connected through its members:
+    # every member has a strength edge to another member (VMB invariant)
+    for a in range(n1):
+        members = np.flatnonzero(a1 == a)
+        if members.size == 1:
+            continue
+        mset = set(members.tolist())
+        for i in members:
+            nbrs = S.indices[S.indptr[i]:S.indptr[i + 1]]
+            assert mset.intersection(nbrs.tolist()), \
+                f"member {i} of aggregate {a} disconnected"
