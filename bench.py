@@ -40,6 +40,11 @@ def log(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
+# surface tpufem INFO logs (AMG setup phase split etc.) on stderr
+import logging  # noqa: E402
+logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+
+
 _T0 = time.perf_counter()
 REPS = 10
 

@@ -19,3 +19,23 @@ def compile_aot(fn, *args):
     """``jax.jit(fn)`` compiled eagerly against ``args``; returns the
     compiled executable (callable with same-structured arguments)."""
     return jax.jit(fn).lower(*args).compile()
+
+
+_EXE_CACHE: dict = {}
+
+
+def compile_aot_cached(key, fn_factory, *args):
+    """Process-wide compiled-executable memo (the analogue of DOLFINx's
+    compiled-form cache: ffcx kernels are compiled once per signature
+    and reused across every form instance).  ``fn_factory()`` is only
+    called — and its program traced + compiled — the first time ``key``
+    is seen; later builds reuse the executable with fresh same-shaped
+    arguments.  Callers must fold every shape/constant the traced
+    program closes over into ``key``.  Re-tracing the RHS assembly
+    program measured 0.5-0.6 s per elasticity problem build at 500k —
+    pure Python tracing overhead, identical program every time."""
+    exe = _EXE_CACHE.get(key)
+    if exe is None:
+        exe = compile_aot(fn_factory(), *args)
+        _EXE_CACHE[key] = exe
+    return exe

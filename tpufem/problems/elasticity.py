@@ -52,7 +52,6 @@ def assemble_elasticity_rhs_structured_dev(space: FunctionSpace, bc,
     consumes."""
     mesh = space.mesh
     nd = np.dtype(dtype)
-    from tpufem.aot import compile_aot
     idx_np = bc.flat_dofs().astype(np.int64)
     ns = space.ndofs_scalar
     if planar:
@@ -65,36 +64,47 @@ def assemble_elasticity_rhs_structured_dev(space: FunctionSpace, bc,
         mass = DiaOperator.build(mesh, 1, "mass", dtype=dtype)
         Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
 
-        def rhs1(mass, idx, val):
-            # the SHARED closed form (common.elasticity_f_components)
-            # evaluated on traced iota coords — device and host paths
-            # cannot diverge
-            x = (jnp.arange(Nx + 1, dtype=dtype) / Nx)[None, None, :]
-            y = (jnp.arange(Ny + 1, dtype=dtype) / Ny)[None, :, None]
-            z = (jnp.arange(Nz + 1, dtype=dtype) / Nz)[:, None, None]
-            shape = (Nz + 1, Ny + 1, Nx + 1)
-            comps = [jnp.broadcast_to(c, shape) for c in
-                     common.elasticity_f_components(x, y, z, jnp)]
-            cols = [mass.apply(c.reshape(-1)) for c in comps]
-            b = (jnp.concatenate(cols) if planar
-                 else jnp.stack(cols, axis=-1).reshape(-1))
-            return b.at[idx].set(val)
+        def make_rhs1():
+            def rhs1(mass, idx, val):
+                # the SHARED closed form (common.elasticity_f_components)
+                # evaluated on traced iota coords — device and host paths
+                # cannot diverge
+                x = (jnp.arange(Nx + 1, dtype=dtype) / Nx)[None, None, :]
+                y = (jnp.arange(Ny + 1, dtype=dtype) / Ny)[None, :, None]
+                z = (jnp.arange(Nz + 1, dtype=dtype) / Nz)[:, None, None]
+                shape = (Nz + 1, Ny + 1, Nx + 1)
+                comps = [jnp.broadcast_to(c, shape) for c in
+                         common.elasticity_f_components(x, y, z, jnp)]
+                cols = [mass.apply(c.reshape(-1)) for c in comps]
+                b = (jnp.concatenate(cols) if planar
+                     else jnp.stack(cols, axis=-1).reshape(-1))
+                return b.at[idx].set(val)
+            return rhs1
 
-        return compile_aot(rhs1, mass, bc_idx, bc_val)(mass, bc_idx, bc_val)
+        from tpufem.aot import compile_aot_cached
+        key = ("elasticity_rhs1", mesh.Nx, mesh.Ny, mesh.Nz, nd.str,
+               planar, bc_idx.size)
+        return compile_aot_cached(key, make_rhs1,
+                                  mass, bc_idx, bc_val)(mass, bc_idx, bc_val)
 
     from tpufem.fem.structured_op import StructuredOperator
     mass = StructuredOperator.build(mesh, space.order, "mass", dtype=dtype)
     f = space.interpolate(common.elasticity_f).reshape(-1, 3)
 
-    def rhs(mass, fd, idx, val):
-        cols = [mass.apply_raw(fd[:, r]) for r in range(3)]
-        b = (jnp.concatenate(cols) if planar
-             else jnp.stack(cols, axis=-1).reshape(-1))
-        return b.at[idx].set(val)
+    def make_rhs():
+        def rhs(mass, fd, idx, val):
+            cols = [mass.apply_raw(fd[:, r]) for r in range(3)]
+            b = (jnp.concatenate(cols) if planar
+                 else jnp.stack(cols, axis=-1).reshape(-1))
+            return b.at[idx].set(val)
+        return rhs
 
+    from tpufem.aot import compile_aot_cached
     fd = jnp.asarray(f.astype(nd))
-    return compile_aot(rhs, mass, fd, bc_idx, bc_val)(mass, fd, bc_idx,
-                                                      bc_val)
+    key = ("elasticity_rhsPk", mesh.Nx, mesh.Ny, mesh.Nz, space.order,
+           nd.str, planar, bc_idx.size)
+    return compile_aot_cached(key, make_rhs, mass, fd, bc_idx,
+                              bc_val)(mass, fd, bc_idx, bc_val)
 
 
 def assemble_elasticity_rhs_np(space: FunctionSpace) -> np.ndarray:

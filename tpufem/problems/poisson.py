@@ -97,34 +97,41 @@ def assemble_poisson_rhs_structured_dev(space: FunctionSpace, bc, dtype):
         Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
         fnz = np.flatnonzero(b_facet != 0.0)
 
-        def rhs1(mass, fidx, fvals, idx, val):
-            x = jnp.arange(Nx + 1, dtype=dtype) / Nx
-            y = jnp.arange(Ny + 1, dtype=dtype) / Ny
-            # the SHARED closed form (common.poisson_f_xy) evaluated on
-            # traced coords — device and host paths cannot diverge
-            f2d = common.poisson_f_xy(x[None, :], y[:, None], jnp)
-            fd = jnp.broadcast_to(
-                f2d, (Nz + 1, Ny + 1, Nx + 1)).reshape(-1)
-            b = mass.apply(fd)
-            b = b.at[fidx].add(fvals)
-            return b.at[idx].set(val)
+        def make_rhs1():
+            def rhs1(mass, fidx, fvals, idx, val):
+                x = jnp.arange(Nx + 1, dtype=dtype) / Nx
+                y = jnp.arange(Ny + 1, dtype=dtype) / Ny
+                # the SHARED closed form (common.poisson_f_xy) evaluated
+                # on traced coords — device and host paths cannot diverge
+                f2d = common.poisson_f_xy(x[None, :], y[:, None], jnp)
+                fd = jnp.broadcast_to(
+                    f2d, (Nz + 1, Ny + 1, Nx + 1)).reshape(-1)
+                b = mass.apply(fd)
+                b = b.at[fidx].add(fvals)
+                return b.at[idx].set(val)
+            return rhs1
 
-        from tpufem.aot import compile_aot
+        from tpufem.aot import compile_aot_cached
         args = (mass, jnp.asarray(fnz.astype(np.int32)),
                 jnp.asarray(b_facet[fnz].astype(nd)), bc_idx, bc_val)
-        return compile_aot(rhs1, *args)(*args)
+        key = ("poisson_rhs1", Nx, Ny, Nz, nd.str, fnz.size, bc_idx.size)
+        return compile_aot_cached(key, make_rhs1, *args)(*args)
 
     from tpufem.fem.structured_op import StructuredOperator
     mass = StructuredOperator.build(mesh, space.order, "mass", dtype=dtype)
     f = space.interpolate(common.poisson_f)
 
-    def rhs(mass, fd, bf, idx, val):
-        return (mass.apply_raw(fd) + bf).at[idx].set(val)
+    def make_rhs():
+        def rhs(mass, fd, bf, idx, val):
+            return (mass.apply_raw(fd) + bf).at[idx].set(val)
+        return rhs
 
-    from tpufem.aot import compile_aot
+    from tpufem.aot import compile_aot_cached
     args = (mass, jnp.asarray(f.astype(nd)),
             jnp.asarray(b_facet.astype(nd)), bc_idx, bc_val)
-    return compile_aot(rhs, *args)(*args)
+    key = ("poisson_rhsPk", mesh.Nx, mesh.Ny, mesh.Nz, space.order,
+           nd.str, bc_idx.size)
+    return compile_aot_cached(key, make_rhs, *args)(*args)
 
 
 def _facet_rhs_np(el, g: np.ndarray, cd_cells: np.ndarray,
