@@ -88,15 +88,27 @@ def refine_marked_edges(vertices: np.ndarray, cells: np.ndarray,
                         marked_edge_verts: np.ndarray,
                         max_passes: int = 200) -> Tuple[np.ndarray, np.ndarray]:
     """Conforming local refinement: split the given edges (as [n, 2]
-    vertex pairs) by iterated longest-edge bisection.
+    vertex pairs), Plaza-style (reference: DOLFINx Plaza refinement,
+    src/mesh.cpp:414-417).
 
-    Every cell containing a to-split edge is bisected by its globally
-    longest edge (ties broken by edge key — a consistent total order, so
-    neighbors agree and the recursion terminates); children containing
-    still-marked edges are re-processed until no marked edge remains.
-    Plaza-equivalent capability: all marked edges end up split and the
-    mesh stays conforming.
+    Phase 1 closes the marking under "every cell touching a marked
+    edge has its longest edge marked" (longest by (length, key)
+    lexicographic order — a total order neighbors agree on).  Phase 2
+    bisects each touched cell by its longest MARKED edge; children
+    inherit remaining marked parent edges and re-enter, so all marked
+    edges split, growth is bounded by 2^(marked edges per cell), and a
+    shared face's marked edges bisect in the same order on both sides
+    (conformity; pinned by tests/test_refine_spoke.py).
     """
+    from tpufem import native
+    got = native.refine_marked_edges(vertices, cells,
+                                     np.asarray(marked_edge_verts),
+                                     max_passes)
+    if got is not None:
+        # C++ incremental-incidence implementation (O(touched) per
+        # round; bit-identical output, pinned by tests)
+        return got
+
     verts = vertices
     cells = cells.copy()
 
@@ -108,28 +120,45 @@ def refine_marked_edges(vertices: np.ndarray, cells: np.ndarray,
     mk = np.asarray(marked_edge_verts, dtype=np.int64)
     split_keys = np.unique(key_of(mk[:, 0], mk[:, 1]))
 
+    # phase 1: closure to fixed point (marking only; no bisection) —
+    # every cell touching a marked edge contributes its longest edge
     for _ in range(max_passes):
         pairs = cells[:, LOCAL_EDGES]  # [C, 6, 2]
         keys = key_of(pairs[..., 0], pairs[..., 1])
-        need = np.isin(keys, split_keys).any(axis=1)
+        marked = np.isin(keys, split_keys)
+        need = marked.any(axis=1)
         if not need.any():
-            break
-        # globally-consistent longest edge: (length, key) lexicographic max
-        # (neighbors agree, so the recursion terminates per LEB theory)
+            return verts, cells
         elen = np.linalg.norm(verts[pairs[..., 0]] - verts[pairs[..., 1]],
                               axis=-1)
         maxlen = elen.max(axis=1, keepdims=True)
         keysel = np.where(elen == maxlen, keys, -1)
         longest = np.argmax(keysel, axis=1)
+        new = np.setdiff1d(np.unique(keys[need, longest[need]]), split_keys)
+        if new.size == 0:
+            break
+        split_keys = np.union1d(split_keys, new)
 
-        # propagation: the chosen bisection edges themselves become
-        # to-split edges (their midpoints would otherwise hang in
-        # untouched neighbors); enlarge the set until fixed point
-        chosen = np.unique(keys[need, longest[need]])
-        new = np.setdiff1d(chosen, split_keys)
-        if new.size:
-            split_keys = np.union1d(split_keys, new)
-            continue
+    # phase 2: rounds bisecting each touched cell by its longest MARKED
+    # edge; children inherit remaining marked parent edges and re-enter.
+    # Midpoints are memoized GLOBALLY across rounds: neighbors may
+    # bisect the same edge in different rounds and must share one
+    # midpoint vertex (a per-round memo created duplicate coincident
+    # vertices -> hanging faces).
+    mid_memo: dict = {}
+    for _ in range(max_passes):
+        pairs = cells[:, LOCAL_EDGES]
+        keys = key_of(pairs[..., 0], pairs[..., 1])
+        marked = np.isin(keys, split_keys)
+        need = marked.any(axis=1)
+        if not need.any():
+            break
+        elen = np.linalg.norm(verts[pairs[..., 0]] - verts[pairs[..., 1]],
+                              axis=-1)
+        elen_m = np.where(marked, elen, -np.inf)
+        maxlen = elen_m.max(axis=1, keepdims=True)
+        keysel = np.where(marked & (elen_m == maxlen), keys, -1)
+        longest = np.argmax(keysel, axis=1)
 
         bis = np.flatnonzero(need)
         lidx = longest[bis]
@@ -139,10 +168,16 @@ def refine_marked_edges(vertices: np.ndarray, cells: np.ndarray,
         vb = cells[bis, lb]
         bkeys = key_of(va, vb)
         ukeys, inv = np.unique(bkeys, return_inverse=True)
-        mid_ids = verts.shape[0] + np.arange(ukeys.shape[0])
-        a = ukeys >> 32
-        b = ukeys & ((1 << 32) - 1)
+        new_mask = np.array([k not in mid_memo for k in ukeys.tolist()])
+        nk = ukeys[new_mask]
+        base = verts.shape[0]
+        a = nk >> 32
+        b = nk & ((1 << 32) - 1)
         verts = np.concatenate([verts, 0.5 * (verts[a] + verts[b])])
+        for j, k in enumerate(nk.tolist()):
+            mid_memo[k] = base + j
+        mid_ids = np.array([mid_memo[k] for k in ukeys.tolist()],
+                           dtype=np.int64)
         mid = mid_ids[inv]
 
         ch1 = cells[bis].copy()
@@ -150,10 +185,5 @@ def refine_marked_edges(vertices: np.ndarray, cells: np.ndarray,
         ch2 = cells[bis].copy()
         ch2[np.arange(bis.size), lb] = mid
         cells = np.concatenate([cells[~need], ch1, ch2], axis=0)
-        # keep only split edges still present somewhere (an edge leaves
-        # the set exactly when no remaining cell contains it whole)
-        pairs = cells[:, LOCAL_EDGES]
-        present = np.unique(key_of(pairs[..., 0], pairs[..., 1]))
-        split_keys = np.intersect1d(split_keys, present)
 
     return verts, cells

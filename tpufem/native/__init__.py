@@ -57,6 +57,15 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double)]
         lib.coo_to_csr_dedup.restype = ctypes.c_int64
+        lib.refine_marked_edges_c.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.refine_marked_edges_c.restype = ctypes.c_int64
         return lib
     except Exception as e:  # pragma: no cover - toolchain-dependent
         logger.warning("native fastsetup unavailable (%s); numpy fallback", e)
@@ -135,6 +144,44 @@ def aggregate_vmb(indptr: np.ndarray, indices: np.ndarray,
         od.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         agg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return agg, int(nagg)
+
+
+def refine_marked_edges(verts: np.ndarray, cells: np.ndarray,
+                        marked: np.ndarray, max_passes: int = 200):
+    """Conforming iterated longest-edge bisection (bit-identical to the
+    numpy rounds in tpufem.mesh.refine, pinned by tests): returns
+    (verts [V,3] f64, cells [C,4] i64), or None when the native library
+    is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(verts, dtype=np.float64)
+    c = np.ascontiguousarray(cells, dtype=np.int64)
+    m = np.ascontiguousarray(marked, dtype=np.int64)
+    cap_v = v.shape[0] + 8 * max(m.shape[0], 1) + 64
+    cap_c = 4 * c.shape[0] + 16 * max(m.shape[0], 1) + 64
+    for _ in range(8):
+        out_v = np.empty((cap_v, 3), dtype=np.float64)
+        out_c = np.empty((cap_c, 4), dtype=np.int64)
+        nv_out = ctypes.c_int64()
+        nc_out = ctypes.c_int64()
+        rc = lib.refine_marked_edges_c(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(v.shape[0]),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(c.shape[0]),
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(m.shape[0]), ctypes.c_int64(max_passes),
+            out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(cap_v),
+            out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(cap_c),
+            ctypes.byref(nv_out), ctypes.byref(nc_out))
+        if rc == 0:
+            return (out_v[:nv_out.value].copy(), out_c[:nc_out.value].copy())
+        cap_v = max(cap_v * 2, nv_out.value)
+        cap_c = max(cap_c * 2, nc_out.value)
+    return None  # pragma: no cover - capacity loop exhausted
 
 
 def coo_to_csr_dedup(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,

@@ -17,8 +17,12 @@
 //       PETSc GAMG's MIS aggregation; reference solver: GAMG,
 //       /root/reference/README.md:63-82)
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 extern "C" {
@@ -105,6 +109,241 @@ int64_t coo_to_csr_dedup(const int64_t* rows, const int64_t* cols,
   }
   for (int64_t r = 0; r < n; ++r) indptr[r + 1] += indptr[r];
   return out;
+}
+
+// Conforming marked-edge refinement, Plaza-style (the serial
+// replacement for the numpy rounds in tpufem.mesh.refine — reference
+// analogue: DOLFINx's C++ Plaza refinement, src/mesh.cpp:414-417).
+//
+// Phase 1 (closure): propagate the marked-edge set to its fixed point
+// under "every cell touching a marked edge has its longest edge
+// marked" — longest by (length, key) lexicographic order, a total
+// order neighbors agree on.  Phase 2 (subdivision): bisect each
+// touched cell by its longest MARKED edge; children inherit remaining
+// marked parent edges and re-enter, so each marked edge splits and the
+// per-cell growth is bounded by 2^(marked edges).  Conformity: a
+// shared face's marked edges are bisected in the same (length, key)
+// order on both sides, so the face triangulations agree.  (The
+// previous formulation bisected by the longest edge outright and
+// re-marked until the marked edge became longest — an iterated-LEB
+// cascade that grew a 23.7k-edge marking into 850k bisections on the
+// anisotropic spoke geometry.)
+//
+// Cell ordering per round is survivors ++ child1-block ++ child2-block
+// and midpoint ids are assigned in sorted-bisection-key order —
+// matching the numpy fallback bit-for-bit (pinned by tests).
+//
+// Returns 0 on success, 1 if out capacities are insufficient (caller
+// retries with *out_nv / *out_nc, which are always set to the required
+// sizes on return).
+namespace {
+// Basix local edge numbering (tpufem.mesh.structured.LOCAL_EDGES).
+static const int LE[6][2] = {{2, 3}, {1, 3}, {1, 2}, {0, 3}, {0, 2}, {0, 1}};
+
+inline uint64_t ekey(int64_t a, int64_t b) {
+  const uint64_t lo = static_cast<uint64_t>(a < b ? a : b);
+  const uint64_t hi = static_cast<uint64_t>(a < b ? b : a);
+  return (lo << 32) | hi;
+}
+}  // namespace
+
+extern "C" int64_t refine_marked_edges_c(
+    const double* verts, int64_t nv, const int64_t* cells, int64_t nc,
+    const int64_t* marked, int64_t nm, int64_t max_passes,
+    double* out_verts, int64_t cap_v, int64_t* out_cells, int64_t cap_c,
+    int64_t* out_nv, int64_t* out_nc) {
+  std::vector<double> vx(verts, verts + 3 * nv);
+  // append-only cell store + alive flag + logical order
+  std::vector<int64_t> cl(cells, cells + 4 * nc);
+  std::vector<uint8_t> alive(static_cast<size_t>(nc), 1);
+  std::vector<int64_t> order(static_cast<size_t>(nc));
+  for (int64_t i = 0; i < nc; ++i) order[i] = i;
+
+  std::unordered_map<uint64_t, std::vector<int64_t>> emap;
+  emap.reserve(static_cast<size_t>(nc) * 4);
+  auto add_cell_edges = [&](int64_t c) {
+    const int64_t* t = &cl[4 * c];
+    for (int e = 0; e < 6; ++e)
+      emap[ekey(t[LE[e][0]], t[LE[e][1]])].push_back(c);
+  };
+  for (int64_t c = 0; c < nc; ++c) add_cell_edges(c);
+
+  std::unordered_set<uint64_t> S;
+  for (int64_t i = 0; i < nm; ++i)
+    S.insert(ekey(marked[2 * i], marked[2 * i + 1]));
+
+  // longest edge of a cell: max length, ties by largest key — matches
+  // the numpy (length, key) lexicographic selection bit-for-bit (same
+  // double arithmetic: sqrt((dx*dx + dy*dy) + dz*dz))
+  auto longest_of = [&](int64_t c, int* la, int* lb) -> uint64_t {
+    const int64_t* t = &cl[4 * c];
+    double best_len = -1.0;
+    uint64_t best_key = 0;
+    int be = 0;
+    for (int e = 0; e < 6; ++e) {
+      const int64_t a = t[LE[e][0]], b = t[LE[e][1]];
+      const double dx = vx[3 * a] - vx[3 * b];
+      const double dy = vx[3 * a + 1] - vx[3 * b + 1];
+      const double dz = vx[3 * a + 2] - vx[3 * b + 2];
+      const double len = std::sqrt((dx * dx + dy * dy) + dz * dz);
+      const uint64_t k = ekey(a, b);
+      if (len > best_len || (len == best_len && k > best_key)) {
+        best_len = len;
+        best_key = k;
+        be = e;
+      }
+    }
+    *la = LE[be][0];
+    *lb = LE[be][1];
+    return best_key;
+  };
+
+  // longest MARKED edge (phase-2 subdivision rule): (length, key) max
+  // among edges in S; returns 0 if the cell has no marked edge
+  auto longest_marked_of = [&](int64_t c, int* la, int* lb) -> uint64_t {
+    const int64_t* t = &cl[4 * c];
+    double best_len = -1.0;
+    uint64_t best_key = 0;
+    int be = -1;
+    for (int e = 0; e < 6; ++e) {
+      const int64_t a = t[LE[e][0]], b = t[LE[e][1]];
+      const uint64_t k = ekey(a, b);
+      if (!S.count(k)) continue;
+      const double dx = vx[3 * a] - vx[3 * b];
+      const double dy = vx[3 * a + 1] - vx[3 * b + 1];
+      const double dz = vx[3 * a + 2] - vx[3 * b + 2];
+      const double len = std::sqrt((dx * dx + dy * dy) + dz * dz);
+      if (len > best_len || (len == best_len && k > best_key)) {
+        best_len = len;
+        best_key = k;
+        be = e;
+      }
+    }
+    if (be < 0) return 0;
+    *la = LE[be][0];
+    *lb = LE[be][1];
+    return best_key;
+  };
+
+  // phase 1: closure BFS over the initial mesh — every cell touching a
+  // marked edge gets its longest edge marked, to fixed point
+  {
+    std::vector<uint8_t> seen_cell(static_cast<size_t>(nc), 0);
+    std::vector<uint64_t> frontier(S.begin(), S.end());
+    while (!frontier.empty()) {
+      std::vector<uint64_t> next;
+      for (uint64_t k : frontier) {
+        auto m = emap.find(k);
+        if (m == emap.end()) continue;
+        for (int64_t c : m->second) {
+          if (seen_cell[c]) continue;
+          seen_cell[c] = 1;
+          int la, lb;
+          const uint64_t lk = longest_of(c, &la, &lb);
+          if (S.insert(lk).second) next.push_back(lk);
+        }
+      }
+      frontier.swap(next);
+    }
+  }
+
+  // phase 2: subdivision rounds.  Seed frontier per round: initially
+  // the closed set; after a bisection round only CHILDREN can still
+  // contain marked edges (every cell containing one was bisected), so
+  // the seed shrinks to (children edges ∩ S).
+  std::vector<uint64_t> seed(S.begin(), S.end());
+  std::vector<uint8_t> needy;  // indexed by cell id (grows)
+  // GLOBAL midpoint memo: neighbors may bisect the same edge in
+  // different rounds; both must connect to ONE midpoint vertex (a
+  // per-round memo created duplicate coincident vertices -> hanging
+  // faces)
+  std::unordered_map<uint64_t, int64_t> mid_of;
+  for (int64_t pass = 0; pass < max_passes; ++pass) {
+    needy.assign(cl.size() / 4, 0);
+    std::vector<int64_t> needy_ids;
+    for (uint64_t k : seed) {
+      auto m = emap.find(k);
+      if (m == emap.end()) continue;
+      for (int64_t c : m->second) {
+        if (!alive[c] || needy[c]) continue;
+        needy[c] = 1;
+        needy_ids.push_back(c);
+      }
+    }
+
+    // bisect in logical order: midpoints numbered in sorted-key order,
+    // new logical order = survivors ++ child1-block ++ child2-block
+    std::vector<int64_t> bis;
+    std::vector<int64_t> survivors;
+    for (int64_t c : order)
+      (needy[c] ? bis : survivors).push_back(c);
+    if (bis.empty()) break;
+
+    std::vector<uint64_t> ukeys;
+    ukeys.reserve(bis.size());
+    std::vector<int> la_of(bis.size()), lb_of(bis.size());
+    std::vector<uint64_t> key_of_bis(bis.size());
+    for (size_t i = 0; i < bis.size(); ++i) {
+      const uint64_t k = longest_marked_of(bis[i], &la_of[i], &lb_of[i]);
+      key_of_bis[i] = k;
+      ukeys.push_back(k);
+    }
+    std::sort(ukeys.begin(), ukeys.end());
+    ukeys.erase(std::unique(ukeys.begin(), ukeys.end()), ukeys.end());
+    for (size_t i = 0; i < ukeys.size(); ++i) {
+      if (mid_of.count(ukeys[i])) continue;  // split in an earlier round
+      const int64_t a = static_cast<int64_t>(ukeys[i] >> 32);
+      const int64_t b = static_cast<int64_t>(ukeys[i] & 0xFFFFFFFFull);
+      const int64_t id = static_cast<int64_t>(vx.size() / 3);
+      vx.push_back(0.5 * (vx[3 * a] + vx[3 * b]));
+      vx.push_back(0.5 * (vx[3 * a + 1] + vx[3 * b + 1]));
+      vx.push_back(0.5 * (vx[3 * a + 2] + vx[3 * b + 2]));
+      mid_of[ukeys[i]] = id;
+    }
+
+    std::vector<int64_t> ch1_ids, ch2_ids;
+    ch1_ids.reserve(bis.size());
+    ch2_ids.reserve(bis.size());
+    for (int pass_child = 0; pass_child < 2; ++pass_child) {
+      for (size_t i = 0; i < bis.size(); ++i) {
+        const int64_t c = bis[i];
+        const int64_t mid = mid_of[key_of_bis[i]];
+        const int64_t id = static_cast<int64_t>(cl.size() / 4);
+        for (int j = 0; j < 4; ++j) cl.push_back(cl[4 * c + j]);
+        cl[4 * id + (pass_child == 0 ? la_of[i] : lb_of[i])] = mid;
+        alive.push_back(1);
+        add_cell_edges(id);
+        (pass_child == 0 ? ch1_ids : ch2_ids).push_back(id);
+      }
+    }
+    for (int64_t c : bis) alive[c] = 0;
+    order.clear();
+    order.insert(order.end(), survivors.begin(), survivors.end());
+    order.insert(order.end(), ch1_ids.begin(), ch1_ids.end());
+    order.insert(order.end(), ch2_ids.begin(), ch2_ids.end());
+
+    // next round's seed: split keys still present on the new children
+    seed.clear();
+    std::unordered_set<uint64_t> seen;
+    for (const auto& ids : {ch1_ids, ch2_ids})
+      for (int64_t c : ids) {
+        const int64_t* t = &cl[4 * c];
+        for (int e = 0; e < 6; ++e) {
+          const uint64_t k = ekey(t[LE[e][0]], t[LE[e][1]]);
+          if (S.count(k) && seen.insert(k).second) seed.push_back(k);
+        }
+      }
+    if (seed.empty()) break;
+  }
+
+  *out_nv = static_cast<int64_t>(vx.size() / 3);
+  *out_nc = static_cast<int64_t>(order.size());
+  if (*out_nv > cap_v || *out_nc > cap_c) return 1;
+  std::memcpy(out_verts, vx.data(), sizeof(double) * vx.size());
+  for (size_t i = 0; i < order.size(); ++i)
+    for (int j = 0; j < 4; ++j)
+      out_cells[4 * i + j] = cl[4 * order[i] + j];
+  return 0;
 }
 
 // Greedy VMB aggregation over the CSR strength graph (no self loops).
