@@ -81,6 +81,9 @@ def test_poisson_matrix_vs_dense(order):
     vals = np.asarray(ell.vals)
     for i in range(cols.shape[0]):
         np.add.at(got[i], cols[i], vals[i])
+    if ell.ov_rows is not None:  # capped-K overflow tail
+        np.add.at(got, (np.asarray(ell.ov_rows), np.asarray(ell.ov_cols)),
+                  np.asarray(ell.ov_vals))
     assert np.allclose(got, Adense, atol=1e-10)
     # row sums of the unconstrained stiffness vanish (constants in kernel)
     assert np.abs(Adense.sum(axis=1)).max() < 1e-10
@@ -100,6 +103,10 @@ def test_elasticity_matrix_vs_dense(order):
         for k in range(cols.shape[1]):
             j = cols[i, k]
             got[3 * i:3 * i + 3, 3 * j:3 * j + 3] += vals[i, k]
+    if ell.ov_rows is not None:  # capped-K overflow tail
+        for i, j, v in zip(np.asarray(ell.ov_rows), np.asarray(ell.ov_cols),
+                           np.asarray(ell.ov_vals)):
+            got[3 * i:3 * i + 3, 3 * j:3 * j + 3] += v
     assert np.allclose(got, Adense, atol=1e-6)
 
 
@@ -173,3 +180,30 @@ def test_coo_to_csr_roundtrip():
     x = rng.standard_normal(n)
     assert np.allclose(np.asarray(ell.matvec(jnp.asarray(x))), dense @ x)
     assert np.allclose(np.asarray(ell.diagonal()), np.diag(dense))
+
+
+def test_ell_k_cap_overflow_exact():
+    """csr_to_ell(k_cap=...) spills long-row tails into the COO overflow;
+    matvec and diagonal must be EXACT vs the full-width form (the spoke
+    hub's degree tail made padded-ELL 3.3x wider than the mean row)."""
+    import scipy.sparse as sp
+    from tpufem.fem.assemble import csr_to_ell
+    rng = np.random.default_rng(7)
+    n = 300
+    A = sp.random(n, n, density=0.05, random_state=8, format="csr")
+    A = (A + A.T).tocsr()  # symmetric-ish, degree spread
+    A = A + sp.eye(n)      # ensure diagonal entries exist
+    A = A.tocsr()
+    x = rng.standard_normal(n)
+    full = csr_to_ell(A.indptr, A.indices, A.data, dtype=jnp.float64)
+    capped = csr_to_ell(A.indptr, A.indices, A.data, dtype=jnp.float64,
+                        k_cap=4)
+    auto = csr_to_ell(A.indptr, A.indices, A.data, dtype=jnp.float64,
+                      k_cap="auto")
+    assert capped.ov_rows is not None and capped.cols.shape[1] == 4
+    ref = A @ x
+    for ell in (full, capped, auto):
+        y = np.asarray(ell.matvec(jnp.asarray(x)))
+        assert np.allclose(y, ref, atol=1e-12)
+        d = np.asarray(ell.diagonal())
+        assert np.allclose(d, A.diagonal(), atol=1e-12)

@@ -69,6 +69,13 @@ class ELLMatrix:
     dense [N, K] gather + reduction, no indirection chains, static shapes.
     Padding entries point at row 0 with zero value.
 
+    Long rows may spill into an optional COO overflow tail
+    (``ov_rows/ov_cols/ov_vals``, applied as one scatter-add): K is then
+    a cost-model cap instead of the max row width, so a handful of
+    high-degree rows (the spoke hub: max 45 vs mean 13.5 entries) no
+    longer triples every row's gather count.  The matvec is EXACT either
+    way.
+
     Registered as a pytree so it is passed into jitted solvers as data
     (baking multi-MB matrices in as HLO constants triggers pathological
     XLA constant folding).
@@ -77,14 +84,17 @@ class ELLMatrix:
     cols: jnp.ndarray   # [N, K] int32 (block columns)
     vals: jnp.ndarray   # [N, K] or [N, K, bs, bs]
     bs: int = 1
+    ov_rows: Optional[jnp.ndarray] = None  # [M] int32 block rows
+    ov_cols: Optional[jnp.ndarray] = None  # [M] int32 block cols
+    ov_vals: Optional[jnp.ndarray] = None  # [M] or [M, bs, bs]
 
     def tree_flatten(self):
-        return (self.cols, self.vals), self.bs
+        return (self.cols, self.vals, self.ov_rows, self.ov_cols,
+                self.ov_vals), self.bs
 
     @classmethod
     def tree_unflatten(cls, bs, children):
-        cols, vals = children
-        return cls(cols, vals, bs)
+        return cls(*children[:2], bs, *children[2:])
 
     @property
     def n_block_rows(self) -> int:
@@ -93,10 +103,17 @@ class ELLMatrix:
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A @ x with x flat [N * bs]."""
         if self.bs == 1:
-            return jnp.sum(self.vals * x[self.cols], axis=1)
+            y = jnp.sum(self.vals * x[self.cols], axis=1)
+            if self.ov_rows is not None:
+                y = y.at[self.ov_rows].add(self.ov_vals * x[self.ov_cols])
+            return y
         xb = x.reshape(-1, self.bs)
         g = xb[self.cols]  # [N, K, bs]
         y = jnp.einsum("nkab,nkb->na", self.vals, g)
+        if self.ov_rows is not None:
+            contrib = jnp.einsum("mab,mb->ma", self.ov_vals,
+                                 xb[self.ov_cols])
+            y = y.at[self.ov_rows].add(contrib)
         return y.reshape(-1)
 
     def diagonal(self) -> jnp.ndarray:
@@ -105,20 +122,45 @@ class ELLMatrix:
         row = jnp.arange(n)[:, None]
         hit = self.cols == row
         if self.bs == 1:
-            return jnp.sum(jnp.where(hit, self.vals, 0.0), axis=1)
+            d = jnp.sum(jnp.where(hit, self.vals, 0.0), axis=1)
+            if self.ov_rows is not None:
+                dhit = (self.ov_rows == self.ov_cols).astype(self.vals.dtype)
+                d = d.at[self.ov_rows].add(dhit * self.ov_vals)
+            return d
         d = jnp.einsum("nkab,nk->nab", self.vals,
                        hit.astype(self.vals.dtype))  # [N, bs, bs]
+        if self.ov_rows is not None:
+            dhit = (self.ov_rows == self.ov_cols).astype(self.vals.dtype)
+            d = d.at[self.ov_rows].add(dhit[:, None, None] * self.ov_vals)
         return jnp.diagonal(d, axis1=1, axis2=2).reshape(-1)
 
     def astype(self, dtype) -> "ELLMatrix":
-        return ELLMatrix(self.cols, self.vals.astype(dtype), self.bs)
+        ov = self.ov_vals.astype(dtype) if self.ov_vals is not None else None
+        return ELLMatrix(self.cols, self.vals.astype(dtype), self.bs,
+                         self.ov_rows, self.ov_cols, ov)
 
 
 def csr_to_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
-               dtype=np.float32, pad_to: Optional[int] = None) -> ELLMatrix:
+               dtype=np.float32, pad_to: Optional[int] = None,
+               k_cap=None) -> ELLMatrix:
+    """``k_cap``: cap the padded width and spill longer rows' tails into
+    the COO overflow (exact matvec either way).  "auto" picks the cap
+    minimizing the TPU gather cost model N*K + 2.5*overflow_nnz — worth
+    ~2x on graphs with a degree tail (spoke hub: max 45 vs mean 13.5).
+    None (default) keeps the classic full-width padding; ``pad_to``
+    (shard-aligned stacking) is incompatible with capping."""
     n = indptr.shape[0] - 1
     nnz_row = np.diff(indptr)
-    K = int(nnz_row.max()) if pad_to is None else pad_to
+    K = int(nnz_row.max()) if nnz_row.size else 0
+    if k_cap == "auto" and pad_to is None and n > 0:
+        ks = np.unique(np.clip(nnz_row, 1, None))
+        over = np.array([(np.maximum(nnz_row - k, 0)).sum() for k in ks])
+        cost = n * ks + 2.5 * over
+        K = int(ks[int(np.argmin(cost))])
+    elif isinstance(k_cap, int):
+        K = min(K, k_cap)
+    if pad_to is not None:
+        K = pad_to
     block = data.ndim == 3
     bs = data.shape[1] if block else 1
     cols = np.zeros((n, K), dtype=np.int32)
@@ -126,8 +168,16 @@ def csr_to_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     # vectorized fill: position of each nnz within its row
     rows = np.repeat(np.arange(n), nnz_row)
     pos = np.arange(indices.shape[0]) - np.repeat(indptr[:-1], nnz_row)
-    cols[rows, pos] = indices
-    vals[rows, pos] = data.astype(dtype)
+    main = pos < K
+    cols[rows[main], pos[main]] = indices[main]
+    vals[rows[main], pos[main]] = data[main].astype(dtype)
+    ov = ~main
+    if ov.any():
+        return ELLMatrix(
+            jnp.asarray(cols), jnp.asarray(vals), bs=bs,
+            ov_rows=jnp.asarray(rows[ov].astype(np.int32)),
+            ov_cols=jnp.asarray(indices[ov].astype(np.int32)),
+            ov_vals=jnp.asarray(data[ov].astype(dtype)))
     return ELLMatrix(jnp.asarray(cols), jnp.asarray(vals), bs=bs)
 
 
@@ -303,7 +353,8 @@ def assemble_operator(space, bc: Optional[DirichletBC], problem: str,
             data[onrow | oncol] = 0.0
             data[diag & onrow] = np.eye(bs)
 
-    return csr_to_ell(indptr, indices, data, dtype=dtype), (indptr, indices, data)
+    return (csr_to_ell(indptr, indices, data, dtype=dtype, k_cap="auto"),
+            (indptr, indices, data))
 
 
 def apply_lifting_and_bc(b: np.ndarray, A_nobc: ELLMatrix,

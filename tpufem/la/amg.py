@@ -614,8 +614,12 @@ class SAAMG:
             elif use_dense:
                 A_dev = DenseMat(_densify_csr(Al, nrows, ddt))
             else:
+                # k_cap only on the FINE level: coarser ELL levels may be
+                # read raw (.cols/.vals) by the rowshard distributor
                 A_dev = csr_to_ell(Al.indptr, Al.indices, Al.data,
-                                   dtype=dtype)
+                                   dtype=dtype,
+                                   k_cap="auto" if len(levels) == 0
+                                   else None)
             if factored:
                 m = B.shape[1]
                 fc, fv = _csr_rows_padded(P0, m)
