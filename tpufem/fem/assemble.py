@@ -38,7 +38,18 @@ from tpufem.fem.dirichlet import DirichletBC
 def coo_to_csr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                n: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Dedupe-summed CSR from COO triplets.  ``vals`` may be [nnz] or
-    [nnz, bs, bs] (block entries).  Returns (indptr, indices, data)."""
+    [nnz, bs, bs] (block entries).  Returns (indptr, indices, data).
+
+    Scalar entries take the single-pass native route (which also drops
+    exact-zero sums, eliminate_zeros-style — such entries are spurious
+    weak connections for the AMG strength graph anyway); block entries
+    keep the vectorized sort+reduceat path."""
+    if vals.ndim == 1:
+        from tpufem import native
+        got = native.coo_to_csr_dedup(rows, cols, vals, n)
+        if got is not None:
+            indptr, ucols, data = got
+            return indptr, ucols.astype(np.int64), data
     key = rows.astype(np.int64) * n + cols.astype(np.int64)
     from tpufem.native import argsort_u64
     order = argsort_u64(key)
@@ -163,6 +174,20 @@ def csr_to_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         K = pad_to
     block = data.ndim == 3
     bs = data.shape[1] if block else 1
+    if not block:
+        # single native pass (the numpy fancy-scatter fill below costs
+        # ~7 s at 12.5M nnz on the 1-vCPU host)
+        from tpufem import native
+        got = native.csr_fill_ell(indptr, indices, data, K)
+        if got is not None:
+            c_, v_, ovr, ovc, ovv = got
+            if ovr.size:
+                return ELLMatrix(
+                    jnp.asarray(c_), jnp.asarray(v_.astype(np.dtype(dtype))),
+                    bs=1, ov_rows=jnp.asarray(ovr), ov_cols=jnp.asarray(ovc),
+                    ov_vals=jnp.asarray(ovv.astype(np.dtype(dtype))))
+            return ELLMatrix(jnp.asarray(c_),
+                             jnp.asarray(v_.astype(np.dtype(dtype))), bs=1)
     cols = np.zeros((n, K), dtype=np.int32)
     vals = np.zeros((n, K) + ((bs, bs) if block else ()), dtype=dtype)
     # vectorized fill: position of each nnz within its row

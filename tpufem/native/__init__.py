@@ -66,6 +66,13 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         lib.refine_marked_edges_c.restype = ctypes.c_int64
+        lib.csr_fill_ell.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double)]
+        lib.csr_fill_ell.restype = ctypes.c_int64
         return lib
     except Exception as e:  # pragma: no cover - toolchain-dependent
         logger.warning("native fastsetup unavailable (%s); numpy fallback", e)
@@ -182,6 +189,37 @@ def refine_marked_edges(verts: np.ndarray, cells: np.ndarray,
         cap_v = max(cap_v * 2, nv_out.value)
         cap_c = max(cap_c * 2, nc_out.value)
     return None  # pragma: no cover - capacity loop exhausted
+
+
+def csr_fill_ell(indptr: np.ndarray, indices: np.ndarray,
+                 data: np.ndarray, K: int):
+    """Scalar CSR -> (cols [n,K] i32, vals [n,K] f64, ov_rows, ov_cols,
+    ov_vals) with longer-row tails in the COO overflow (empty arrays
+    when none), or None when the native library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    ip = np.ascontiguousarray(indptr, dtype=np.int64)
+    ix = np.ascontiguousarray(indices, dtype=np.int32)
+    dv = np.ascontiguousarray(data, dtype=np.float64)
+    n = ip.shape[0] - 1
+    nnz = ix.shape[0]
+    cols = np.empty((n, K), dtype=np.int32)
+    vals = np.empty((n, K), dtype=np.float64)
+    ovr = np.empty(nnz, dtype=np.int32)
+    ovc = np.empty(nnz, dtype=np.int32)
+    ovv = np.empty(nnz, dtype=np.float64)
+    m = lib.csr_fill_ell(
+        ip.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ix.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(n), ctypes.c_int64(K),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ovr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ovc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ovv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return cols, vals, ovr[:m].copy(), ovc[:m].copy(), ovv[:m].copy()
 
 
 def coo_to_csr_dedup(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,

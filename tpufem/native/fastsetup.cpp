@@ -346,6 +346,36 @@ extern "C" int64_t refine_marked_edges_c(
   return 0;
 }
 
+// CSR -> padded ELL fill (scalar values), with a capped width K and a
+// COO overflow tail for longer rows.  out_cols/out_vals sized n*K
+// (zero-filled here); ov_* sized (nnz) worst case.  Values are written
+// f64; the Python wrapper casts views as needed.  Returns the overflow
+// count.
+int64_t csr_fill_ell(const int64_t* indptr, const int32_t* indices,
+                     const double* data, int64_t n, int64_t K,
+                     int32_t* out_cols, double* out_vals,
+                     int32_t* ov_rows, int32_t* ov_cols, double* ov_vals) {
+  std::memset(out_cols, 0, sizeof(int32_t) * n * K);
+  std::memset(out_vals, 0, sizeof(double) * n * K);
+  int64_t m = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    int64_t w = 0;
+    for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+      if (w < K) {
+        out_cols[r * K + w] = indices[e];
+        out_vals[r * K + w] = data[e];
+        ++w;
+      } else {
+        ov_rows[m] = static_cast<int32_t>(r);
+        ov_cols[m] = indices[e];
+        ov_vals[m] = data[e];
+        ++m;
+      }
+    }
+  }
+  return m;
+}
+
 // Greedy VMB aggregation over the CSR strength graph (no self loops).
 //
 // Phase 1 (roots): visiting nodes in `order`, a node whose strong
