@@ -308,14 +308,59 @@ def main() -> None:
         log(f"SA-AMG {key}: assemble {assemble5_s:.2f}s, host AMG setup "
             f"{setup5_s:.2f}s (first solve incl. compile {first5_s:.1f}s), "
             f"warm solve {solve5_s:.4f}s, {it5} iterations")
+        from tpufem.la.amg import SAAMG
+        dev5 = getattr(SAAMG, "last_phase_s", {}).get("device", 0.0)
         extra.update({
             f"{key}_ndofs": prob5.space.ndofs,
             f"{key}_assemble_s": round(assemble5_s, 4),
             f"{key}_setup_host_s": round(setup5_s, 4),
+            # device uploads + densify-program XLA compile inside the
+            # setup (tunnel/compile-lottery dominated; the host setup
+            # math is setup_host_s - this)
+            f"{key}_setup_device_s": round(dev5, 4),
             f"{key}_solve_first_s": round(first5_s, 4),
             f"{key}_solve_s": round(solve5_s, 4),
             f"{key}_iterations": it5,
         })
+
+    # ---- 6. Unstructured spoke mesh, 150k dofs, CG + SA-AMG ----------------
+    # The spoke system is singular by design (pure Neumann, PARITY.md) —
+    # the reference runs it as a smoke job; here it doubles as the
+    # assembled-ELL throughput probe, so iterations are capped and the
+    # metric is per-iteration time.
+    from tpufem.mesh.spoke import create_spoke_mesh
+    cfg6 = Config(problem_type="poisson", mesh_type="unstructured",
+                  ndofs=150_000, scaling_type="strong", dtype="float32",
+                  solver=SolverOptions(ksp_rtol=1e-8, ksp_max_it=30))
+    t0 = time.perf_counter()
+    mesh6 = create_spoke_mesh(150_000, True, 1, 1, verbose=False)
+    mesh6_s = time.perf_counter() - t0
+    log(f"spoke mesh built in {mesh6_s:.1f}s; warm build")
+    with contextlib.redirect_stdout(sys.stderr):
+        poisson.problem(mesh6, 1, cfg6)
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sys.stderr):
+        prob6 = poisson.problem(mesh6, 1, cfg6)
+    assemble6_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sys.stderr):
+        x6, it6 = prob6.solver_function(prob6.u, prob6.b)
+        float(jnp.ravel(x6)[-1])
+    first6_s = time.perf_counter() - t0
+    setup6_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
+    solve6_s = timed_solves(prob6, reps=3)
+    per_it6 = solve6_s / max(it6, 1)
+    log(f"spoke 150k: assemble {assemble6_s:.2f}s, AMG setup "
+        f"{setup6_s:.2f}s, warm {it6}-iteration solve {solve6_s:.3f}s "
+        f"-> {per_it6 * 1e3:.1f} ms/iter")
+    extra.update({
+        "poisson_spoke_ndofs": prob6.space.ndofs,
+        "poisson_spoke_mesh_s": round(mesh6_s, 4),
+        "poisson_spoke_assemble_s": round(assemble6_s, 4),
+        "poisson_spoke_setup_host_s": round(setup6_s, 4),
+        "poisson_spoke_solve_first_s": round(first6_s, 4),
+        "poisson_spoke_iter_ms": round(per_it6 * 1e3, 3),
+    })
 
     value = round(ndofs / total_s, 1)
     vs = 1.0

@@ -656,6 +656,10 @@ class SAAMG:
         logger.info(
             "SA-AMG setup %.2fs: levels %s | %s", time.perf_counter() - t_total,
             sizes, " ".join(f"{k} {v:.2f}s" for k, v in ph.items() if v > 0.005))
+        # expose the split for benchmarking: 'device' is uploads + XLA
+        # compile of the densify program (environment-dominated on the
+        # TPU tunnel); the rest is genuine host setup math
+        cls.last_phase_s = dict(ph, total=time.perf_counter() - t_total)
         return cls(levels=levels, coarse_inv=coarse_inv,
                    smoother_degree=degree, level_sizes=sizes)
 
