@@ -20,8 +20,8 @@ citations in docstrings point at the call sites that pin down semantics.
 
 __version__ = "0.1.0"
 
-from tpufem.hostmem import tune_allocator as _tune_allocator
+# NOTE: allocator tuning (tpufem.hostmem.tune_allocator) is applied by
+# the entry points that need it (CLI, bench) — not at import, so merely
+# importing the library never mutates process-global malloc state.
 
-_tune_allocator()  # pool large numpy setup temporaries (see hostmem.py)
-
-from tpufem.config import Config, SolverOptions  # noqa: F401,E402
+from tpufem.config import Config, SolverOptions  # noqa: F401

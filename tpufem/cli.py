@@ -183,7 +183,9 @@ def solve(cfg: Config) -> Tuple[int, float]:
         from tpufem.parallel.slab import slab_gmg_viable
         if not slab_gmg_viable(
                 mesh, num_shards, bs=cfg.dofs_per_node,
-                coarse_limit=int(cfg.solver.get("amg_coarse_eq_limit"))):
+                coarse_limit=int(cfg.solver.get("amg_coarse_eq_limit")),
+                max_levels=int(cfg.solver.get("amg_max_levels")),
+                precond=cfg.solver.get("pc_type") != "none"):
             logger.info("cube mesh %dx%dx%d too small for a sharded "
                         "multigrid chain over %d slabs; using the "
                         "row-sharded path", mesh.Nx, mesh.Ny, mesh.Nz,

@@ -40,16 +40,21 @@ def coo_to_csr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     """Dedupe-summed CSR from COO triplets.  ``vals`` may be [nnz] or
     [nnz, bs, bs] (block entries).  Returns (indptr, indices, data).
 
-    Scalar entries take the single-pass native route (which also drops
-    exact-zero sums, eliminate_zeros-style — such entries are spurious
-    weak connections for the AMG strength graph anyway); block entries
-    keep the vectorized sort+reduceat path."""
-    if vals.ndim == 1:
+    Scalar entries take the single-pass native route; it drops
+    exact-zero sums (eliminate_zeros-style — such entries are spurious
+    weak connections for the AMG strength graph anyway) and returns
+    float64 data, and the numpy fallback below applies the SAME
+    semantics so results do not depend on whether the native library
+    loaded.  Block entries keep the vectorized sort+reduceat path
+    (explicit zero blocks retained)."""
+    scalar = vals.ndim == 1
+    if scalar:
         from tpufem import native
         got = native.coo_to_csr_dedup(rows, cols, vals, n)
         if got is not None:
             indptr, ucols, data = got
             return indptr, ucols.astype(np.int64), data
+        vals = vals.astype(np.float64)
     key = rows.astype(np.int64) * n + cols.astype(np.int64)
     from tpufem.native import argsort_u64
     order = argsort_u64(key)
@@ -60,6 +65,9 @@ def coo_to_csr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     data = np.add.reduceat(vals, boundaries, axis=0)
     urows = (ukey // n).astype(np.int64)
     ucols = (ukey % n).astype(np.int64)
+    if scalar:  # match the native route: drop exact-zero sums
+        keep = data != 0.0
+        data, urows, ucols = data[keep], urows[keep], ucols[keep]
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.add.at(indptr, urows + 1, 1)
     indptr = np.cumsum(indptr)
@@ -171,6 +179,11 @@ def csr_to_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     elif isinstance(k_cap, int):
         K = min(K, k_cap)
     if pad_to is not None:
+        if nnz_row.size and int(nnz_row.max()) > pad_to:
+            raise ValueError(
+                f"pad_to={pad_to} is smaller than the max row width "
+                f"{int(nnz_row.max())}; shard-aligned stacking reads "
+                ".cols/.vals raw and cannot carry an overflow tail")
         K = pad_to
     block = data.ndim == 3
     bs = data.shape[1] if block else 1

@@ -54,13 +54,23 @@ def tune_allocator() -> bool:
 
 
 def _touch(nbytes: int) -> None:
+    # chunks BELOW the raised mmap threshold: a single >= 1 GiB buffer
+    # would be served via mmap and munmapped on free (glibc always
+    # unmaps mmap'd chunks), warming nothing; sub-threshold chunks grow
+    # the brk heap, which the disabled trim retains.  All chunks stay
+    # alive until the end so the heap grows to the full size.
     import numpy as np
+    chunk = 256 << 20
+    held = []
     try:
-        buf = np.empty(nbytes, dtype=np.uint8)
-        buf[::4096] = 1  # one write per 4 KiB page
-        del buf
+        for _ in range((nbytes + chunk - 1) // chunk):
+            buf = np.empty(chunk, dtype=np.uint8)
+            buf[::4096] = 1  # one write per 4 KiB page
+            held.append(buf)
     except MemoryError:  # pragma: no cover
         pass
+    finally:
+        held.clear()
 
 
 def prefault(nbytes: int = 1 << 30, background: bool = True):

@@ -592,8 +592,7 @@ class SAAMG:
             use_dense = (nrows <= dense_limit
                          and dense_bytes <= 1536 * 1024 * 1024)
             if use_dense:
-                import logging
-                logging.getLogger("tpufem").info(
+                logger.info(
                     "AMG level %d (%d rows) densified for MXU matvecs "
                     "(%.1f MiB device)", len(levels) + 1, nrows,
                     dense_bytes / 2**20)

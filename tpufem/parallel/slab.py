@@ -76,16 +76,21 @@ def _level_chain(mesh: BoxTetMesh, bs: int, coarse_limit: int,
 
 def slab_gmg_viable(mesh: BoxTetMesh, nshards: int, bs: int = 1,
                     coarse_limit: int = 1000,
-                    max_levels: int = 12) -> bool:
-    """True when ShardedCubeSolver.build can shard this mesh with a
-    multigrid hierarchy: the finest level's z extent must split into
-    equal EVEN slabs and at least one coarser level must exist (the
-    same conditions build() raises on).  The CLI uses this to route
-    small/indivisible cube configs to the rowshard fallback instead of
-    erroring."""
+                    max_levels: int = 12, precond: bool = True) -> bool:
+    """True when ShardedCubeSolver.build can shard this mesh: Nz must
+    split into equal slabs, and — when a multigrid preconditioner is
+    wanted — the finest level's slabs must be EVEN and at least one
+    coarser level must exist (the same conditions build() raises on).
+    The CLI uses this to route small/indivisible cube configs to the
+    rowshard fallback instead of erroring; callers must pass the
+    solver's own amg_max_levels/pc_type so the predicate matches what
+    build() will actually be asked to do."""
+    if mesh.Nz % nshards != 0:
+        return False
+    if not precond:
+        return True  # unpreconditioned CG shards without a chain
     chain = _level_chain(mesh, bs, coarse_limit, max_levels)
-    return (len(chain) >= 2 and mesh.Nz % nshards == 0
-            and (mesh.Nz // nshards) % 2 == 0)
+    return len(chain) >= 2 and (mesh.Nz // nshards) % 2 == 0
 
 
 def slab_global_ids(mesh: BoxTetMesh, order: int, nzl: int, S: int,
