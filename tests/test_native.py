@@ -108,3 +108,70 @@ def test_aggregate_vmb_deterministic_and_connected():
             nbrs = S.indices[S.indptr[i]:S.indptr[i + 1]]
             assert mset.intersection(nbrs.tolist()), \
                 f"member {i} of aggregate {a} disconnected"
+
+
+def test_refine_marked_edges_cpp_matches_numpy():
+    """The C++ Plaza bisection and the vectorized numpy fallback must
+    produce BIT-IDENTICAL meshes (same closure fixed point, same cell
+    ordering, same midpoint numbering)."""
+    from tpufem.mesh.structured import BoxTetMesh
+    from tpufem.mesh.topology import TetTopology
+    import tpufem.mesh.refine as R
+
+    box = BoxTetMesh(2, 2, 2)
+    verts = box.vertex_coords(np.arange(box.num_vertices_global))
+    cells = box.cells()
+    topo = TetTopology(verts, cells)
+    ev = topo.edge_vertices(np.arange(0, topo.num_edges_global, 5))
+    gv, gc = native.refine_marked_edges(verts, cells, ev)
+    orig = native.refine_marked_edges
+    native.refine_marked_edges = lambda *a, **k: None  # force numpy
+    try:
+        nv, nc = R.refine_marked_edges(verts, cells, ev)
+    finally:
+        native.refine_marked_edges = orig
+    assert np.array_equal(gv, nv)
+    assert np.array_equal(gc, nc)
+
+
+def test_refine_marked_edges_stale_marks():
+    """Marked edges absent from the mesh (e.g. already split upstream)
+    are ignored, not crashed on."""
+    from tpufem.mesh.structured import BoxTetMesh
+    box = BoxTetMesh(1, 1, 1)
+    verts = box.vertex_coords(np.arange(box.num_vertices_global))
+    cells = box.cells()
+    # pick a vertex pair that is NOT an edge of any cell
+    from tpufem.mesh.structured import LOCAL_EDGES
+    keys = set(map(tuple, np.sort(
+        cells[:, LOCAL_EDGES].reshape(-1, 2), axis=1).tolist()))
+    pair = None
+    nvg = verts.shape[0]
+    for a in range(nvg):
+        for b in range(a + 1, nvg):
+            if (a, b) not in keys:
+                pair = (a, b)
+                break
+        if pair:
+            break
+    assert pair is not None
+    gv, gc = native.refine_marked_edges(verts, cells,
+                                        np.array([pair]))
+    assert np.array_equal(gv, verts) and np.array_equal(gc, cells)
+
+
+def test_aggregate_vmb_isolated_nodes():
+    """Nodes with no strength edges become singleton aggregates."""
+    n = 10
+    S = sp.csr_matrix((n, n))
+    agg, nagg = native.aggregate_vmb(S.indptr, S.indices, S.data,
+                                     np.arange(n))
+    assert nagg == n and np.unique(agg).size == n
+
+
+def test_coo_to_csr_dedup_all_zero():
+    rows = np.array([1, 1, 2])
+    cols = np.array([2, 2, 3])
+    vals = np.array([1.0, -1.0, 0.0])
+    indptr, ucols, uvals = native.coo_to_csr_dedup(rows, cols, vals, 5)
+    assert uvals.size == 0 and indptr[-1] == 0
