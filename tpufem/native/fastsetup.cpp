@@ -159,14 +159,40 @@ extern "C" int64_t refine_marked_edges_c(
   std::vector<int64_t> order(static_cast<size_t>(nc));
   for (int64_t i = 0; i < nc; ++i) order[i] = i;
 
+  // Edge -> cells incidence.  The INITIAL mesh's incidence is a flat
+  // radix-sorted array (one sort; per-key binary search) — hashing the
+  // ~6*nc initial edges cost ~1.5-2 s per call at 366k cells where the
+  // sort is ~0.1 s.  Only CHILD cells append to the hash map.
+  std::vector<uint64_t> base_keys(static_cast<size_t>(nc) * 6);
+  for (int64_t c = 0; c < nc; ++c) {
+    const int64_t* t = &cl[4 * c];
+    for (int e = 0; e < 6; ++e)
+      base_keys[6 * c + e] = ekey(t[LE[e][0]], t[LE[e][1]]);
+  }
+  std::vector<int64_t> base_order(base_keys.size());
+  radix_argsort_u64(base_keys.data(),
+                    static_cast<int64_t>(base_keys.size()),
+                    base_order.data());
+  std::vector<uint64_t> base_sorted(base_keys.size());
+  for (size_t i = 0; i < base_keys.size(); ++i)
+    base_sorted[i] = base_keys[base_order[i]];
+
   std::unordered_map<uint64_t, std::vector<int64_t>> emap;
-  emap.reserve(static_cast<size_t>(nc) * 4);
   auto add_cell_edges = [&](int64_t c) {
     const int64_t* t = &cl[4 * c];
     for (int e = 0; e < 6; ++e)
       emap[ekey(t[LE[e][0]], t[LE[e][1]])].push_back(c);
   };
-  for (int64_t c = 0; c < nc; ++c) add_cell_edges(c);
+
+  // invoke fn(cell_id) for every cell (initial or child) containing k
+  auto for_cells_with = [&](uint64_t k, auto&& fn) {
+    auto lo = std::lower_bound(base_sorted.begin(), base_sorted.end(), k);
+    for (; lo != base_sorted.end() && *lo == k; ++lo)
+      fn(base_order[lo - base_sorted.begin()] / 6);
+    auto m = emap.find(k);
+    if (m != emap.end())
+      for (int64_t c : m->second) fn(c);
+  };
 
   std::unordered_set<uint64_t> S;
   for (int64_t i = 0; i < nm; ++i)
@@ -233,15 +259,13 @@ extern "C" int64_t refine_marked_edges_c(
     while (!frontier.empty()) {
       std::vector<uint64_t> next;
       for (uint64_t k : frontier) {
-        auto m = emap.find(k);
-        if (m == emap.end()) continue;
-        for (int64_t c : m->second) {
-          if (seen_cell[c]) continue;
+        for_cells_with(k, [&](int64_t c) {
+          if (seen_cell[c]) return;
           seen_cell[c] = 1;
           int la, lb;
           const uint64_t lk = longest_of(c, &la, &lb);
           if (S.insert(lk).second) next.push_back(lk);
-        }
+        });
       }
       frontier.swap(next);
     }
@@ -262,13 +286,11 @@ extern "C" int64_t refine_marked_edges_c(
     needy.assign(cl.size() / 4, 0);
     std::vector<int64_t> needy_ids;
     for (uint64_t k : seed) {
-      auto m = emap.find(k);
-      if (m == emap.end()) continue;
-      for (int64_t c : m->second) {
-        if (!alive[c] || needy[c]) continue;
+      for_cells_with(k, [&](int64_t c) {
+        if (!alive[c] || needy[c]) return;
         needy[c] = 1;
         needy_ids.push_back(c);
-      }
+      });
     }
 
     // bisect in logical order: midpoints numbered in sorted-key order,
