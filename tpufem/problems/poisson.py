@@ -177,6 +177,30 @@ def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
     return b
 
 
+def _try_window(csr_, bc, solver, dtype):
+    """RCM + block-windowed fine operator for the unstructured AMG path
+    (fem.window_op): scalar gathers are the TPU SpMV bottleneck (measured
+    18.7 ms/apply at 150k dofs for the capped-K ELL vs 2.4 ms windowed).
+    Returns (None, None, None) when disabled (-amg_fine_window off), the
+    CSR is block-form (bs>1 keeps the ELL path), or the dense-window
+    footprint exceeds -amg_window_budget_mb."""
+    mode = str(solver.get("amg_fine_window"))
+    if mode == "off":
+        return None, None, None
+    if np.asarray(csr_[2]).ndim != 1:
+        return None, None, None
+    from tpufem.fem.window_op import WindowedMatrix, rcm_csr
+    budget = int(solver.get("amg_window_budget_mb")) * 2**20
+    perm, csr_w = rcm_csr(*csr_)
+    wop = WindowedMatrix.from_csr(
+        *csr_w, dtype=np.dtype(dtype), perm=perm,
+        budget_bytes=None if mode == "on" else budget)
+    if wop is None:
+        return None, None, None
+    mask = bc.mask()
+    return wop, csr_w, (mask[perm] if mask is not None else None)
+
+
 def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                 cfg: Config, dtype, planar: bool = False):
     """Shared CG-solver closure for poisson/elasticity: resolves the
@@ -233,17 +257,33 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     # tests/test_dia_op.py::test_to_scipy_matches_assembled
                     M = A.to_scipy()
                     csr_ = (M.indptr, M.indices, M.data)
-                pc = SAAMG.setup(csr_, bs=bc.bs, options=solver, dtype=dtype,
-                                 near_nullspace=nns, bc_mask=bc.mask(),
-                                 fine_factored=structured)
-                if structured:
-                    # the constant-stencil apply IS the assembled matrix
-                    # on this mesh: use it as the (gather-free) fine-level
-                    # operator inside the V-cycle
+                wop = None
+                if not structured:
+                    wop, csr_w, mask_w = _try_window(csr_, bc, solver, dtype)
+                if wop is not None:
+                    # unstructured fine level: RCM + block-windowed SpMV
+                    # (fem.window_op — 2.4 ms vs 18.7 ms per 150k apply)
+                    # as BOTH the CG operator and the V-cycle fine level;
+                    # the hierarchy is built over the permuted matrix
+                    pc = SAAMG.setup(csr_w, bs=bc.bs, options=solver,
+                                     dtype=dtype, near_nullspace=nns,
+                                     bc_mask=mask_w, fine_factored=True)
+                    cache["A_op"] = wop
                     precond_of = lambda A_, pc_: (
-                        lambda r: pc_.vcycle(r, fine_matvec=matvec_of(A_)))
+                        lambda r: pc_.vcycle(r, fine_matvec=A_.matvec))
                 else:
-                    precond_of = lambda A_, pc_: pc_.vcycle
+                    pc = SAAMG.setup(csr_, bs=bc.bs, options=solver,
+                                     dtype=dtype, near_nullspace=nns,
+                                     bc_mask=bc.mask(),
+                                     fine_factored=structured)
+                    if structured:
+                        # the constant-stencil apply IS the assembled
+                        # matrix on this mesh: use it as the (gather-free)
+                        # fine-level operator inside the V-cycle
+                        precond_of = lambda A_, pc_: (
+                            lambda r: pc_.vcycle(r, fine_matvec=matvec_of(A_)))
+                    else:
+                        precond_of = lambda A_, pc_: pc_.vcycle
             elif pc_type == "jacobi":
                 if structured:
                     pc = jnp.asarray((1.0 / A.diagonal_np()).astype(np.dtype(dtype)))
@@ -261,6 +301,9 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
             nonzero_guess = bool(solver.get("ksp_initial_guess_nonzero",
                                             False))
 
+            A_op = cache.get("A_op", A)
+            permuted = getattr(A_op, "perm", None) is not None
+
             def run(A_, pc_, x0, rhs_):
                 if planar:
                     # interleaved contract outside, planar inside: the
@@ -268,10 +311,17 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     # per-iteration state stays planar)
                     x0 = x0.reshape(-1, 3).T.reshape(-1)
                     rhs_ = rhs_.reshape(-1, 3).T.reshape(-1)
+                if permuted:
+                    # windowed operator lives in RCM ordering: map the
+                    # system in/out once per solve (two n-gathers)
+                    x0 = x0[A_.perm]
+                    rhs_ = rhs_[A_.perm]
                 x_, it_, rel_ = cg_solve(matvec_of(A_), rhs_,
                                          x0=x0 if nonzero_guess else None,
                                          precond=precond_of(A_, pc_),
                                          rtol=rtol, maxit=maxit)
+                if permuted:
+                    x_ = x_[A_.iperm]
                 if planar:
                     x_ = x_.reshape(3, -1).T.reshape(-1)
                 return x_, it_, rel_
@@ -280,14 +330,16 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
             # AOT compile: hits the persistent compilation cache; the
             # dispatch-path compiler does not (see tpufem.aot)
             from tpufem.aot import compile_aot
-            cache["run"], cache["pc"] = compile_aot(run, A, pc, u0, rhs), pc
-        x, it, rel = cache["run"](A, cache["pc"], u0, rhs)
+            cache["A_op"] = A_op
+            cache["run"], cache["pc"] = compile_aot(run, A_op, pc, u0,
+                                                    rhs), pc
+        x, it, rel = cache["run"](cache["A_op"], cache["pc"], u0, rhs)
         return x, int(it)
 
     def solve_async(u0: jnp.ndarray, rhs: jnp.ndarray):
         """Non-blocking variant (no scalar readback) for pipelined
         benchmarking; requires a prior solver_function call (PC built)."""
-        return cache["run"](A, cache["pc"], u0, rhs)
+        return cache["run"](cache["A_op"], cache["pc"], u0, rhs)
 
     solver_function.solve_async = solve_async
     return solver_function
