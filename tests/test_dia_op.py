@@ -255,3 +255,13 @@ def test_conv_op_matches_const(order, dims):
             got = np.asarray(cv.apply_bc_rows_zero(x))
         s = np.abs(ref).max()
         assert np.abs(got - ref).max() < 1e-12 * s
+        if bake:
+            # channel-resident round trip (the in-CG-loop form): padded
+            # tensor in/out, phantom + ring re-zeroed every apply
+            xch = cv.to_channels_padded(x)
+            got_ch = np.asarray(cv.from_channels_padded(
+                cv.apply_channels(xch)))
+            assert np.abs(got_ch - ref).max() < 1e-12 * s
+            # round-trip identity of the layout conversion itself
+            back = np.asarray(cv.from_channels_padded(xch))
+            assert np.abs(back - np.asarray(x)).max() == 0.0

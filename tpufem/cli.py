@@ -244,6 +244,13 @@ def solve(cfg: Config) -> Tuple[int, float]:
     sol_norm = float(norm(x))
     print(f"*** Number of Krylov iterations: {num_iter}")
     print(f"*** Solution norm:  {sol_norm}", flush=True)
+    true_rel = getattr(prob.solver_function, "_last_true_rel", None)
+    if true_rel is not None:
+        passes = getattr(prob.solver_function, "_last_refine_passes", 0)
+        extra = getattr(prob.solver_function, "_last_refine_iters", 0)
+        print(f"*** True residual ||b-Ax||/||b|| (f64): {true_rel:.3e}"
+              f" ({passes} refinement pass(es), +{extra} iterations)",
+              flush=True)
 
     cfg.solver.warn_options_left()
     if mem is not None:

@@ -70,6 +70,14 @@ class SolverOptions:
     # gather-free apply, ~8x faster on v5e.  "auto" uses it when the
     # buffer fits the byte budget below; coarse levels stay ELL/dense.
     amg_window_budget_mb: int = 4096
+    # f32 fidelity contract (the reference solves in f64 end-to-end,
+    # src/poisson_problem.cpp:27 PetscScalar): after the device solve,
+    # measure the TRUE residual ||b - A x|| / ||b|| against a float64
+    # host twin of the assembled system, and run mixed-precision
+    # iterative refinement (f32 device solves as the inner solver, f64
+    # residual + iterate accumulation) until it meets ksp_rtol
+    ksp_true_residual: str = "on"        # on | off
+    ksp_refine_max: int = 3              # max refinement passes (f32 runs)
     amg_jacobi_omega: float = 0.6667
     amg_prolongator_damping: float = 1.3333  # omega/rho(D^-1 A) Jacobi smoothing of P
     # extras (audited if unused)

@@ -131,14 +131,35 @@ class WindowedMatrix:
         (_, W, nb, nc, b_of, r_of, w_of, c_of) = _plan_windows(
             indptr, indices, R, C, itemsize, w_cap=w_cap)
         if budget_bytes is not None and nb * R * W * C * itemsize > budget_bytes:
-            return None
+            # clamp to the widest window that fits the budget (extra
+            # entries spill into the exact COO tail) instead of giving
+            # the whole form up — a narrower window usually still beats
+            # the ~8x-slower ELL gather path
+            w_fit = int(budget_bytes // (nb * R * C * itemsize))
+            if w_fit < 1:
+                return None
+            (_, W, nb, nc, b_of, r_of, w_of, c_of) = _plan_windows(
+                indptr, indices, R, C, itemsize, w_cap=w_fit)
+            ov_frac = float((w_of >= W).mean())
+            if ov_frac > 0.5:
+                # scalar overflow tail would dominate the apply: the
+                # capped-K ELL form is the better program here
+                return None
         WC = W * C
+        if nb * R * WC - 1 > np.iinfo(np.int32).max:
+            # the flat scatter index space must fit int32: with x64
+            # disabled (all f32 production runs) jnp.asarray would
+            # silently truncate int64 indices and build a corrupted
+            # operator — fall back to the ELL path instead
+            import logging
+            logging.getLogger("tpufem").warning(
+                "windowed form needs %d-entry flat index space (> int32);"
+                " falling back to ELL", nb * R * WC)
+            return None
 
         main = w_of < W
         flat = (b_of[main] * (R * WC) + r_of[main] * WC
-                + w_of[main] * C + c_of[main])
-        if nb * R * WC - 1 <= np.iinfo(np.int32).max:
-            flat = flat.astype(np.int32)
+                + w_of[main] * C + c_of[main]).astype(np.int32)
         vmain = data[main].astype(np.dtype(dtype))
 
         # blk_idx: one entry per kept (block, w) pair

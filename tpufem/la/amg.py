@@ -418,17 +418,26 @@ def _densify_csr(Al: sp.csr_matrix, n: int, ddt) -> jnp.ndarray:
     triplets: ships nnz*(val+row+col) bytes through the TPU tunnel —
     no padded-ELL intermediate (whose K_max padding tripled the upload
     at wide coarse levels) and no host ``toarray()`` (GB-scale
-    transient + scalar-wise ml_dtypes bf16 cast)."""
+    transient + scalar-wise ml_dtypes bf16 cast).  Compiled through the
+    AOT cache (tpufem.aot): the dispatch-path compile of this scatter
+    measured ~10 s per distinct level shape through the TPU tunnel and
+    dominated the AMG setup's device share; the persistent cache cuts
+    warm processes to ~2 s."""
+    from tpufem.aot import compile_aot_cached
     rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(Al.indptr))
+    vdt = np.float32 if ddt == jnp.bfloat16 else np.dtype(ddt)
+    args = (jnp.asarray(rows),
+            jnp.asarray(Al.indices.astype(np.int32)),
+            jnp.asarray(Al.data.astype(vdt)))
 
-    def go(r, c, v):
-        M = jnp.zeros((n, n), v.dtype).at[r, c].add(v)
-        return M.astype(ddt)
-    return jax.jit(go)(jnp.asarray(rows),
-                       jnp.asarray(Al.indices.astype(np.int32)),
-                       jnp.asarray(Al.data.astype(
-                           np.float32 if ddt == jnp.bfloat16
-                           else np.dtype(ddt))))
+    def make():
+        def go(r, c, v):
+            M = jnp.zeros((n, n), v.dtype).at[r, c].add(v)
+            return M.astype(ddt)
+        return go
+
+    key = ("amg_densify", n, int(Al.nnz), np.dtype(vdt).str, str(ddt))
+    return compile_aot_cached(key, make, *args)(*args)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -186,14 +186,27 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         # AOT compile: hits the persistent compilation cache; the
         # dispatch-path compiler does not (see tpufem.aot)
         from tpufem.aot import compile_aot
+        from tpufem.fem.conv_op import ConvStencilOp
         from tpufem.la.cg import cg_solve_fused
+
         # zero initial guess (the reference's un starts at 0 with BC
         # values already lifted into b): no operator application
         # outside the while_loop at all
-        cache["run"] = compile_aot(
-            lambda o, x, r: cg_solve_fused(apply_of(o), r, x0=None,
-                                           rtol=rtol, maxit=kmax),
-            op_, x0, rhs_)
+        if isinstance(op_, ConvStencilOp) and baked:
+            # channel-resident loop: the flat<->channel relayout pays
+            # once per SOLVE, not per iteration (conv_op.apply_channels)
+            def run_ch(o, x, r):
+                r_ch = o.to_channels_padded(r)
+                x_ch, it, rel = cg_solve_fused(o.apply_channels, r_ch,
+                                               x0=None, rtol=rtol,
+                                               maxit=kmax)
+                return o.from_channels_padded(x_ch), it, rel
+            cache["run"] = compile_aot(run_ch, op_, x0, rhs_)
+        else:
+            cache["run"] = compile_aot(
+                lambda o, x, r: cg_solve_fused(apply_of(o), r, x0=None,
+                                               rtol=rtol, maxit=kmax),
+                op_, x0, rhs_)
         return cache["run"]
 
     def solver_function(u0: jnp.ndarray, rhs: jnp.ndarray) -> Tuple[jnp.ndarray, int]:

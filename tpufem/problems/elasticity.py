@@ -183,10 +183,29 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
     with Timer("ZZZ Create near-nullspace"):
         nns = build_near_nullspace(space.scalar_dof_coords())
 
+    def fidelity():
+        """float64 host twin (la.refine) in the node-interleaved layout
+        (the solver's external contract; the planar conversion happens
+        inside the jitted run)."""
+        if structured:
+            from tpufem.fem.dia_op import build_operator as _bop
+            A64 = _bop(mesh, order, "elasticity", bc_dofs=bc.flat_dofs(),
+                       dtype=jnp.float64, device=False)
+            apply64 = A64.apply_np
+        else:
+            import scipy.sparse as sp
+            n = space.ndofs
+            M64 = sp.bsr_matrix((csr[2], csr[1], csr[0]), shape=(n, n))
+            apply64 = lambda v: M64 @ v
+        b64 = assemble_elasticity_rhs_np(space)
+        b64[bc.flat_dofs()] = bc.value
+        return apply64, b64
+
     u = jnp.zeros(space.ndofs, dtype=dtype)
     # b/u/x keep the reference's node-interleaved contract; the solver
     # program converts to planar internally (make_solver)
     solver_function = make_solver(A, csr, mesh, order, "elasticity", bc,
-                                  nns, cfg, dtype, planar=planar)
+                                  nns, cfg, dtype, planar=planar,
+                                  fidelity=fidelity)
     return common.Problem(b=b, u=u, solver_function=solver_function,
                           space=space, bc=bc)

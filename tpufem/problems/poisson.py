@@ -177,38 +177,55 @@ def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
     return b
 
 
-def _try_window(csr_, bc, solver, dtype):
+def _try_window(csr_, bc, solver, dtype, nns=None):
     """RCM + block-windowed fine operator for the unstructured AMG path
     (fem.window_op): scalar gathers are the TPU SpMV bottleneck (measured
     18.7 ms/apply at 150k dofs for the capped-K ELL vs 2.4 ms windowed).
-    Returns (None, None, None) when disabled (-amg_fine_window off), the
-    CSR is block-form (bs>1 keeps the ELL path), or the dense-window
-    footprint exceeds -amg_window_budget_mb."""
+    Returns (None,)*4 when disabled (-amg_fine_window off), the CSR is
+    block-form (bs>1 keeps the ELL path), or the dense-window footprint
+    exceeds -amg_window_budget_mb even at window width 1.  Near-
+    nullspace candidates are returned RCM-permuted to match csr_w."""
     mode = str(solver.get("amg_fine_window"))
     if mode == "off":
-        return None, None, None
+        return None, None, None, None
     if np.asarray(csr_[2]).ndim != 1:
-        return None, None, None
+        return None, None, None, None
     from tpufem.fem.window_op import WindowedMatrix, rcm_csr
-    budget = int(solver.get("amg_window_budget_mb")) * 2**20
+    budget = None if mode == "on" else (
+        int(solver.get("amg_window_budget_mb")) * 2**20)
+    n = len(csr_[0]) - 1
+    if budget is not None:
+        # pre-gate before paying the host RCM + symmetric permutation:
+        # even a width-1 window costs ceil(n/R)*R*C*itemsize bytes
+        R, C = 16, 128
+        min_bytes = ((n + R - 1) // R) * R * C * np.dtype(dtype).itemsize
+        if min_bytes > budget:
+            return None, None, None, None
     perm, csr_w = rcm_csr(*csr_)
     wop = WindowedMatrix.from_csr(
-        *csr_w, dtype=np.dtype(dtype), perm=perm,
-        budget_bytes=None if mode == "on" else budget)
+        *csr_w, dtype=np.dtype(dtype), perm=perm, budget_bytes=budget)
     if wop is None:
-        return None, None, None
+        return None, None, None, None
     mask = bc.mask()
-    return wop, csr_w, (mask[perm] if mask is not None else None)
+    return (wop, csr_w, (mask[perm] if mask is not None else None),
+            (nns[:, perm] if nns is not None else None))
 
 
 def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
-                cfg: Config, dtype, planar: bool = False):
+                cfg: Config, dtype, planar: bool = False, fidelity=None):
     """Shared CG-solver closure for poisson/elasticity: resolves the
     preconditioner (auto -> gmg on BoxTetMesh, amg otherwise), builds it
     inside the first solve (PETSc's PCSetUp-in-KSPSolve timing), caches
     the jitted program.  ``planar``: A (and b/x) use the component-
     planar bs=3 layout (fem.dia_op.DiaOperator.planar) — the caller
-    guarantees GMG viability, so no AMG fallback exists on this path."""
+    guarantees GMG viability, so no AMG fallback exists on this path.
+
+    ``fidelity``: lazy ``() -> (apply64, b64)`` float64 HOST twin of the
+    assembled system.  When set (and -ksp_true_residual is not "off"),
+    every converged solve is certified against the f64 system — true
+    relative residual measured in f64, mixed-precision iterative
+    refinement until it meets ksp_rtol (la.refine; the reference's
+    PetscScalar=double contract, src/poisson_problem.cpp:27)."""
     solver = cfg.solver
     rtol = float(solver.get("ksp_rtol"))
     maxit = int(solver.get("ksp_max_it"))
@@ -259,14 +276,15 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     csr_ = (M.indptr, M.indices, M.data)
                 wop = None
                 if not structured:
-                    wop, csr_w, mask_w = _try_window(csr_, bc, solver, dtype)
+                    wop, csr_w, mask_w, nns_w = _try_window(csr_, bc, solver,
+                                                            dtype, nns)
                 if wop is not None:
                     # unstructured fine level: RCM + block-windowed SpMV
                     # (fem.window_op — 2.4 ms vs 18.7 ms per 150k apply)
                     # as BOTH the CG operator and the V-cycle fine level;
                     # the hierarchy is built over the permuted matrix
                     pc = SAAMG.setup(csr_w, bs=bc.bs, options=solver,
-                                     dtype=dtype, near_nullspace=nns,
+                                     dtype=dtype, near_nullspace=nns_w,
                                      bc_mask=mask_w, fine_factored=True)
                     cache["A_op"] = wop
                     precond_of = lambda A_, pc_: (
@@ -334,7 +352,48 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
             cache["run"], cache["pc"] = compile_aot(run, A_op, pc, u0,
                                                     rhs), pc
         x, it, rel = cache["run"](cache["A_op"], cache["pc"], u0, rhs)
+        if fidelity is not None and str(solver.get("ksp_true_residual")) != "off":
+            x = _certify(x, rhs, it, rel)
         return x, int(it)
+
+    def _certify(x, rhs, it, rel):
+        """True-residual check + mixed-precision refinement (f64 host
+        twin; la.refine).  Returns the (possibly refined) solution."""
+        from tpufem.la.refine import Certifier
+        if "certifier" not in cache:
+            with Timer("ZZZ True residual setup"):
+                apply64, b64 = fidelity()
+                cache["certifier"] = Certifier(apply64, b64, rtol)
+        cert = cache["certifier"]
+        # the f64 twin corresponds to the problem's canonical RHS; a
+        # caller-perturbed rhs (throughput reps) is not certified
+        rhs_norm = float(np.linalg.norm(np.asarray(rhs, dtype=np.float64)))
+        bn = cert.bnorm if cert.bnorm > 0.0 else 1.0
+        if abs(rhs_norm - cert.bnorm) > 1e-4 * bn:
+            solver_function._last_true_rel = None
+            return x
+        converged = bool(float(rel) <= rtol)
+        is_f32 = np.dtype(dtype) == np.float32
+        max_passes = (int(solver.get("ksp_refine_max"))
+                      if (is_f32 and converged) else 0)
+        zeros = jnp.zeros_like(rhs)
+
+        def corr(r64):
+            r_dev = jnp.asarray(r64.astype(np.dtype(dtype)))
+            d, it_, _ = cache["run"](cache["A_op"], cache["pc"], zeros,
+                                     r_dev)
+            return np.asarray(d), int(it_)
+
+        res = cert.certify(np.asarray(x), corr if max_passes else None,
+                           max_passes=max_passes)
+        if res.passes:
+            x = jnp.asarray(res.x64.astype(np.dtype(dtype)))
+        solver_function._last_true_rel = res.true_rel
+        solver_function._last_refine_passes = res.passes
+        solver_function._last_refine_iters = res.extra_iterations
+        solver_function._last_certify_s = res.seconds
+        solver_function._last_norm64 = float(np.linalg.norm(res.x64))
+        return x
 
     def solve_async(u0: jnp.ndarray, rhs: jnp.ndarray):
         """Non-blocking variant (no scalar readback) for pipelined
@@ -380,8 +439,26 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
             b_np[bc.flat_dofs()] = bc.value  # apply_lifting is zero (u0 = 0)
             b = jnp.asarray(b_np.astype(np.dtype(dtype)))
 
+    def fidelity():
+        """float64 host twin of the assembled system (la.refine): the
+        same operator construction evaluated in f64 + the host f64 RHS
+        assembly — the reference's PetscScalar=double system."""
+        if structured:
+            from tpufem.fem.dia_op import build_operator as _bop
+            A64 = _bop(mesh, order, "poisson", bc_dofs=bc.flat_dofs(),
+                       dtype=jnp.float64, device=False)
+            apply64 = A64.apply_np
+        else:
+            import scipy.sparse as sp
+            n = space.ndofs
+            M64 = sp.csr_matrix((csr[2], csr[1], csr[0]), shape=(n, n))
+            apply64 = lambda v: M64 @ v
+        b64 = assemble_poisson_rhs_np(space)
+        b64[bc.flat_dofs()] = bc.value
+        return apply64, b64
+
     u = jnp.zeros(space.ndofs, dtype=dtype)
     solver_function = make_solver(A, csr, mesh, order, "poisson", bc, None,
-                                  cfg, dtype)
+                                  cfg, dtype, fidelity=fidelity)
     return common.Problem(b=b, u=u, solver_function=solver_function,
                           space=space, bc=bc)
