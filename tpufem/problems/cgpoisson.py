@@ -78,7 +78,7 @@ def make_action(space: FunctionSpace, bc: DirichletBC, scatter: DofScatter,
 
 
 def problem(mesh, order: int, cfg: Config) -> common.Problem:
-    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    dtype = common.resolve_dtype(cfg)
     from tpufem.mesh.structured import BoxTetMesh
     structured = isinstance(mesh, BoxTetMesh)
 

@@ -84,3 +84,22 @@ def elasticity_f(x: np.ndarray) -> np.ndarray:
 def elasticity_bc_marker(x: np.ndarray) -> np.ndarray:
     """Clamped y = 0 plane (reference: src/elasticity_problem.cpp:125-138)."""
     return np.abs(x[:, 1]) < 1.0e-8
+
+
+def resolve_dtype(cfg):
+    """Map cfg.dtype to the jnp dtype, refusing the silent-downcast
+    trap: requesting float64 with jax_enable_x64 off would build every
+    array as float32 while the refinement/certification logic (and the
+    user) believes the run is f64.  The CLI enables x64 for
+    --dtype float64 (cli.py); library callers must do the same."""
+    import jax
+    import jax.numpy as jnp
+    if cfg.dtype == "float64":
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "dtype='float64' requires jax_enable_x64 (the CLI sets "
+                "it; library callers: jax.config.update('jax_enable_x64',"
+                " True) before building the problem) — without it every "
+                "array silently downcasts to float32")
+        return jnp.float64
+    return jnp.float32

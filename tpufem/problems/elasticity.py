@@ -134,7 +134,7 @@ def assemble_elasticity_rhs_np(space: FunctionSpace) -> np.ndarray:
 
 
 def problem(mesh, order: int, cfg: Config) -> common.Problem:
-    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    dtype = common.resolve_dtype(cfg)
     structured = isinstance(mesh, BoxTetMesh)
 
     with Timer("ZZZ FunctionSpace"):

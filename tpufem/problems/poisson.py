@@ -405,7 +405,7 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
 
 
 def problem(mesh, order: int, cfg: Config) -> common.Problem:
-    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    dtype = common.resolve_dtype(cfg)
     structured = isinstance(mesh, BoxTetMesh)
 
     with Timer("ZZZ FunctionSpace"):
