@@ -18,7 +18,7 @@ Reference behavior is specified by /root/reference (FEniCS/performance-test);
 citations in docstrings point at the call sites that pin down semantics.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 # NOTE: allocator tuning (tpufem.hostmem.tune_allocator) is applied by
 # the entry points that need it (CLI, bench) — not at import, so merely

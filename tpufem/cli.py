@@ -236,7 +236,8 @@ def solve(cfg: Config) -> Tuple[int, float]:
             os.makedirs(cfg.output, exist_ok=True)
             from tpufem.io import write_xdmf
             fn = os.path.join(cfg.output, f"solution-{num_shards}.xdmf")
-            write_xdmf(fn, mesh, np.asarray(x), bs=prob.space.bs)
+            write_xdmf(fn, mesh, np.asarray(x), bs=prob.space.bs,
+                       space=prob.space)
 
     list_timings(ranks=num_shards)
 

@@ -1,1 +1,1 @@
-from tpufem.io.xdmf import write_xdmf  # noqa: F401
+from tpufem.io.xdmf import read_xdmf, write_xdmf  # noqa: F401
