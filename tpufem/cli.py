@@ -241,8 +241,13 @@ def solve(cfg: Config) -> Tuple[int, float]:
 
     list_timings(ranks=num_shards)
 
-    from tpufem.la.vector import norm
-    sol_norm = float(norm(x))
+    # multi-process solvers report the owned-masked distributed norm
+    # themselves (the la::norm allreduce, reference main.cpp:229) —
+    # their x is a global sharded array this process cannot gather
+    sol_norm = getattr(prob.solver_function, "_last_norm", None)
+    if sol_norm is None:
+        from tpufem.la.vector import norm
+        sol_norm = float(norm(x))
     print(f"*** Number of Krylov iterations: {num_iter}")
     print(f"*** Solution norm:  {sol_norm}", flush=True)
     true_rel = getattr(prob.solver_function, "_last_true_rel", None)

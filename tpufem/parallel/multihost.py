@@ -39,18 +39,26 @@ def init_from_env(coordinator_address: Optional[str] = None,
 
     The MPI_Init analogue (reference src/main.cpp:246).  With no
     arguments, ``jax.distributed.initialize`` reads the standard
-    environment (JAX_COORDINATOR_ADDRESS / cloud-TPU metadata); single
-    -process runs return (0, 1) without touching the runtime.  Returns
+    environment: JAX_COORDINATOR_ADDRESS plus — since jax's own cluster
+    auto-detection only covers Slurm/OpenMPI/k8s — TPUFEM_NUM_PROCESSES
+    and TPUFEM_PROCESS_ID for plain process launches (the ``mpirun -np
+    N`` analogue used by tests/test_multihost.py).  Single-process runs
+    return (0, 1) without touching the runtime.  Returns
     (process_index, process_count)."""
     import jax
-    explicit = (coordinator_address is not None
-                or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    env_addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
                 or os.environ.get("COORDINATOR_ADDRESS"))
+    explicit = coordinator_address is not None or env_addr
     if explicit:
-        kw = {}
-        if coordinator_address is not None:
-            kw = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+        if coordinator_address is None:
+            coordinator_address = env_addr
+        if num_processes is None and os.environ.get("TPUFEM_NUM_PROCESSES"):
+            num_processes = int(os.environ["TPUFEM_NUM_PROCESSES"])
+        if process_id is None and os.environ.get("TPUFEM_PROCESS_ID"):
+            process_id = int(os.environ["TPUFEM_PROCESS_ID"])
+        kw = dict(coordinator_address=coordinator_address)
+        if num_processes is not None:
+            kw.update(num_processes=num_processes, process_id=process_id)
         jax.distributed.initialize(**kw)
     return jax.process_index(), jax.process_count()
 

@@ -176,8 +176,15 @@ def problem(mesh, order: int, cfg: Config, problem_name: str,
         facets = mesh.locate_boundary_facets(marker)
         bc = DirichletBC.from_space(space, facets)
 
+    import jax
+    multiproc = jax.process_count() > 1
+
     with Timer("ZZZ Assemble vector"):
-        b_global = _global_rhs(space, bc, base, dtype)
+        # multi-process: the RHS is built slab-locally inside
+        # build_per_host (no process holds a global vector) — the
+        # reference's per-rank assemble_vector (poisson_problem.cpp:146)
+        b_global = None if multiproc else _global_rhs(space, bc, base,
+                                                      dtype)
 
     if matfree:
         rtol = float(solver.extra.get("cg_rtol", 1e-6))
@@ -190,15 +197,49 @@ def problem(mesh, order: int, cfg: Config, problem_name: str,
         precond = _resolve_sharded_precond(solver, "geometric multigrid")
 
     with Timer("ZZZ Assemble matrix"):
-        sh = ShardedCubeSolver.build(
-            mesh, num_shards, problem=base, order=order, dtype=dtype,
-            rtol=rtol, maxit=maxit, precond=precond,
-            coarse_limit=int(solver.get("amg_coarse_eq_limit")),
-            smoother_degree=int(solver.get("amg_smoother_degree")),
-            max_levels=int(solver.get("amg_max_levels")),
-            b_global=b_global)
+        if multiproc:
+            # the mpirun -np N analogue: every process builds ONLY its
+            # addressable shards (reference src/main.cpp:246,
+            # mesh.cpp:164-180)
+            if matfree or order != 1:
+                raise NotImplementedError(
+                    "multi-process runs support the assembled P1 "
+                    "poisson/elasticity paths (run order>=2 / cgpoisson "
+                    "single-process over the device mesh)")
+            sh = ShardedCubeSolver.build_per_host(
+                mesh, num_shards, problem=base, dtype=dtype,
+                rtol=rtol, maxit=maxit, precond=precond,
+                coarse_limit=int(solver.get("amg_coarse_eq_limit")),
+                smoother_degree=int(solver.get("amg_smoother_degree")),
+                max_levels=int(solver.get("amg_max_levels")))
+        else:
+            sh = ShardedCubeSolver.build(
+                mesh, num_shards, problem=base, order=order, dtype=dtype,
+                rtol=rtol, maxit=maxit, precond=precond,
+                coarse_limit=int(solver.get("amg_coarse_eq_limit")),
+                smoother_degree=int(solver.get("amg_smoother_degree")),
+                max_levels=int(solver.get("amg_max_levels")),
+                b_global=b_global)
 
     def solver_function(u0, rhs) -> Tuple[jnp.ndarray, int]:
+        if multiproc:
+            # multi-controller: every process dispatches the SAME global
+            # program; x stays a sharded global array (collecting to
+            # host would need non-addressable shards).  The solution
+            # norm is the owned-masked global reduction — the
+            # reference's la::norm allreduce (main.cpp:229)
+            import time as _time
+            jax.block_until_ready(sh._run(sh.b_local)[0])
+            t0 = _time.perf_counter()
+            x_loc, it, rel = sh._run(sh.b_local)
+            jax.block_until_ready(x_loc)
+            problem._last_solve_s = _time.perf_counter() - t0
+            n2 = jax.jit(lambda o, v: jnp.sum(
+                jnp.where(o, v, 0.0).astype(jnp.float64) ** 2
+                if v.dtype == jnp.float64 else
+                jnp.where(o, v, 0.0) ** 2))(sh.owned, x_loc)
+            solver_function._last_norm = float(np.sqrt(float(n2)))
+            return x_loc, int(it)
         # compile outside the timed region (AOT analogue), then one
         # pipelined timing pass so the tunnel round trip amortizes
         x, it, rel, dt = sh.solve_timed(reps=3)
@@ -210,6 +251,13 @@ def problem(mesh, order: int, cfg: Config, problem_name: str,
         problem._last_solve_s = dt
         return jnp.asarray(x), it
 
+    if multiproc:
+        # the solver closure consumes its own slab-local RHS; Problem.b
+        # is never read on this path, and materializing a global vector
+        # would defeat the per-host build
+        return common.Problem(b=None, u=None,
+                              solver_function=solver_function,
+                              space=space, bc=bc)
     bg = b_global.copy()
     bg[bc.flat_dofs()] = 0.0 if matfree else bc.value
     return common.Problem(b=jnp.asarray(bg.astype(np.dtype(dtype))),
