@@ -175,3 +175,24 @@ def test_coo_to_csr_dedup_all_zero():
     vals = np.array([1.0, -1.0, 0.0])
     indptr, ucols, uvals = native.coo_to_csr_dedup(rows, cols, vals, 5)
     assert uvals.size == 0 and indptr[-1] == 0
+
+
+def test_tet_edges_matches_numpy():
+    from tpufem.mesh.structured import LOCAL_EDGES
+    from tpufem.native import tet_edges
+    rng = np.random.default_rng(7)
+    nv = 400
+    cells = rng.integers(0, nv, size=(1500, 4))
+    got = tet_edges(cells, nv)
+    if got is None:
+        pytest.skip("native unavailable")
+    ev, ce, fl = got
+    pairs = cells[:, LOCAL_EDGES]
+    lo = pairs.min(axis=-1)
+    hi = pairs.max(axis=-1)
+    key = lo.astype(np.int64) * nv + hi
+    uniq, inv = np.unique(key.ravel(), return_inverse=True)
+    np.testing.assert_array_equal(
+        ev, np.stack([uniq // nv, uniq % nv], axis=-1))
+    np.testing.assert_array_equal(ce, inv.reshape(-1, 6))
+    np.testing.assert_array_equal(fl, pairs[..., 0] > pairs[..., 1])

@@ -66,6 +66,11 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         lib.refine_marked_edges_c.restype = ctypes.c_int64
+        lib.tet_edges_c.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.tet_edges_c.restype = ctypes.c_int64
         lib.csr_fill_ell.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
@@ -189,6 +194,30 @@ def refine_marked_edges(verts: np.ndarray, cells: np.ndarray,
         cap_v = max(cap_v * 2, nv_out.value)
         cap_c = max(cap_c * 2, nc_out.value)
     return None  # pragma: no cover - capacity loop exhausted
+
+
+def tet_edges(cells: np.ndarray, nv: int):
+    """Unique undirected edges of a tet mesh in one native pass:
+    (edge_verts [ne, 2], cell_edges [nc, 6], flipped [nc, 6] bool) per
+    tpufem.mesh.structured.LOCAL_EDGES, or None when the native library
+    is unavailable or nv >= 2^32 (key packing)."""
+    lib = _get()
+    if lib is None or nv >= (1 << 32):
+        return None
+    c = np.ascontiguousarray(cells, dtype=np.int64)
+    nc = c.shape[0]
+    edge_verts = np.empty((6 * max(nc, 1), 2), dtype=np.int64)
+    cell_edges = np.empty((nc, 6), dtype=np.int64)
+    flipped = np.empty((nc, 6), dtype=np.uint8)
+    ne = lib.tet_edges_c(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(nc), ctypes.c_int64(nv),
+        edge_verts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cell_edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        flipped.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if ne < 0:
+        return None
+    return edge_verts[:ne].copy(), cell_edges, flipped.astype(bool)
 
 
 def csr_fill_ell(indptr: np.ndarray, indices: np.ndarray,

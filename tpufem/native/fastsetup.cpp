@@ -18,12 +18,33 @@
 //       /root/reference/README.md:63-82)
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
+
+// coarse phase timers, enabled by TPUFEM_NATIVE_PROF=1 (perf work only)
+namespace prof {
+inline bool on() {
+  static const bool v = [] {
+    const char* e = std::getenv("TPUFEM_NATIVE_PROF");
+    return e && e[0] == '1';
+  }();
+  return v;
+}
+inline double now() {
+  return std::chrono::duration<double>(
+      std::chrono::steady_clock::now().time_since_epoch()).count();
+}
+inline void mark(const char* name, double t0) {
+  if (on()) std::fprintf(stderr, "[native] %s %.3fs\n", name, now() - t0);
+}
+}  // namespace prof
 
 extern "C" {
 
@@ -73,6 +94,50 @@ int64_t unique_inverse_u64(const uint64_t* keys, int64_t n,
     inv[perm[i]] = nu;
   }
   return nu + 1;
+}
+
+// Tet-mesh edge derivation in one native pass (the hot Topology stage
+// of the unstructured spoke cascade: 8 topology builds per mesh;
+// numpy's gather/min/max/key passes cost ~1.7 s/call at 150k dofs
+// where this is ~0.3 s).  cells [nc, 4] -> unique undirected edges:
+//   edge_verts [ne, 2] (lo, hi), cell_edges [nc, 6] (edge gid per
+//   LOCAL_EDGES slot), flipped [nc, 6] (local pair ordered hi->lo).
+// Requires nv < 2^32 (keys pack (lo << 32) | hi).  Returns ne, or -1
+// on overflow.  Local edge table matches tpufem.mesh.structured
+// LOCAL_EDGES.
+int64_t tet_edges_c(const int64_t* cells, int64_t nc, int64_t nv,
+                    int64_t* edge_verts, int64_t* cell_edges,
+                    uint8_t* flipped) {
+  static const int LEt[6][2] = {{2, 3}, {1, 3}, {1, 2},
+                                {0, 3}, {0, 2}, {0, 1}};
+  if (nv >= (int64_t(1) << 32)) return -1;
+  const int64_t n = nc * 6;
+  std::vector<uint64_t> keys(static_cast<size_t>(n));
+  for (int64_t c = 0; c < nc; ++c) {
+    const int64_t* t = &cells[4 * c];
+    for (int e = 0; e < 6; ++e) {
+      const int64_t a = t[LEt[e][0]], b = t[LEt[e][1]];
+      const uint64_t lo = static_cast<uint64_t>(a < b ? a : b);
+      const uint64_t hi = static_cast<uint64_t>(a < b ? b : a);
+      keys[6 * c + e] = (lo << 32) | hi;
+      flipped[6 * c + e] = a > b;
+    }
+  }
+  std::vector<int64_t> perm(static_cast<size_t>(n));
+  radix_argsort_u64(keys.data(), n, perm.data());
+  int64_t ne = 0;
+  uint64_t prev = ~uint64_t(0);
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t k = keys[perm[i]];
+    if (k != prev) {
+      prev = k;
+      edge_verts[2 * ne] = static_cast<int64_t>(k >> 32);
+      edge_verts[2 * ne + 1] = static_cast<int64_t>(k & 0xFFFFFFFFu);
+      ++ne;
+    }
+    cell_edges[perm[i]] = ne - 1;
+  }
+  return ne;
 }
 
 // COO triplets -> deduplicated CSR in one native pass: radix argsort by
@@ -145,6 +210,108 @@ inline uint64_t ekey(int64_t a, int64_t b) {
   const uint64_t hi = static_cast<uint64_t>(a < b ? b : a);
   return (lo << 32) | hi;
 }
+
+// Open-addressing u64 hash set/map (power-of-2 capacity, linear
+// probing).  std::unordered_{set,map} dominated the refinement passes
+// (~2.7 s/call at 150k dofs: per-edge node allocations + pointer
+// chasing across ~15M operations); these flat tables cut that ~3x.
+// Key 0 is the empty sentinel — edge keys are (lo << 32) | hi with
+// lo < hi, so hi >= 1 and no real key is 0.
+inline size_t mix64(uint64_t k) {
+  k *= 0x9E3779B97F4A7C15ull;
+  return static_cast<size_t>(k >> 29);
+}
+
+struct U64Set {
+  std::vector<uint64_t> tab;
+  size_t mask = 0, n = 0;
+  explicit U64Set(size_t cap = 16) { init(cap); }
+  void init(size_t cap) {
+    size_t m = 16;
+    while (m < cap * 2) m <<= 1;
+    tab.assign(m, 0);
+    mask = m - 1;
+    n = 0;
+  }
+  void grow() {
+    std::vector<uint64_t> old;
+    old.swap(tab);
+    tab.assign((mask + 1) * 2, 0);
+    mask = tab.size() - 1;
+    n = 0;
+    for (uint64_t v : old)
+      if (v) insert(v);
+  }
+  bool insert(uint64_t k) {
+    if ((n + 1) * 2 > tab.size()) grow();
+    size_t i = mix64(k) & mask;
+    for (;; i = (i + 1) & mask) {
+      if (tab[i] == k) return false;
+      if (tab[i] == 0) {
+        tab[i] = k;
+        ++n;
+        return true;
+      }
+    }
+  }
+  bool contains(uint64_t k) const {
+    size_t i = mix64(k) & mask;
+    for (;; i = (i + 1) & mask) {
+      if (tab[i] == k) return true;
+      if (tab[i] == 0) return false;
+    }
+  }
+};
+
+struct U64Map {  // u64 -> int64 (insert-or-find)
+  std::vector<uint64_t> keys;
+  std::vector<int64_t> vals;
+  size_t mask = 0, n = 0;
+  explicit U64Map(size_t cap = 16) { init(cap); }
+  void init(size_t cap) {
+    size_t m = 16;
+    while (m < cap * 2) m <<= 1;
+    keys.assign(m, 0);
+    vals.assign(m, 0);
+    mask = m - 1;
+    n = 0;
+  }
+  void grow() {
+    std::vector<uint64_t> ok;
+    std::vector<int64_t> ov;
+    ok.swap(keys);
+    ov.swap(vals);
+    keys.assign((mask + 1) * 2, 0);
+    vals.assign(keys.size(), 0);
+    mask = keys.size() - 1;
+    n = 0;
+    for (size_t i = 0; i < ok.size(); ++i)
+      if (ok[i]) put(ok[i], ov[i]);
+  }
+  void put(uint64_t k, int64_t v) {
+    if ((n + 1) * 2 > keys.size()) grow();
+    size_t i = mix64(k) & mask;
+    for (;; i = (i + 1) & mask) {
+      if (keys[i] == k) {
+        vals[i] = v;
+        return;
+      }
+      if (keys[i] == 0) {
+        keys[i] = k;
+        vals[i] = v;
+        ++n;
+        return;
+      }
+    }
+  }
+  int64_t get(uint64_t k, int64_t missing) const {
+    size_t i = mix64(k) & mask;
+    for (;; i = (i + 1) & mask) {
+      if (keys[i] == k) return vals[i];
+      if (keys[i] == 0) return missing;
+    }
+  }
+};
 }  // namespace
 
 extern "C" int64_t refine_marked_edges_c(
@@ -152,6 +319,7 @@ extern "C" int64_t refine_marked_edges_c(
     const int64_t* marked, int64_t nm, int64_t max_passes,
     double* out_verts, int64_t cap_v, int64_t* out_cells, int64_t cap_c,
     int64_t* out_nv, int64_t* out_nc) {
+  const double t_all = prof::now();
   std::vector<double> vx(verts, verts + 3 * nv);
   // append-only cell store + alive flag + logical order
   std::vector<int64_t> cl(cells, cells + 4 * nc);
@@ -177,11 +345,20 @@ extern "C" int64_t refine_marked_edges_c(
   for (size_t i = 0; i < base_keys.size(); ++i)
     base_sorted[i] = base_keys[base_order[i]];
 
-  std::unordered_map<uint64_t, std::vector<int64_t>> emap;
+  prof::mark("refine: base sort", t_all);
+  // child-edge incidence: flat-table head map + (cell, next) chain
+  // entries (no per-edge vector allocations)
+  U64Map ehead(static_cast<size_t>(nm) * 8 + 64);
+  std::vector<std::pair<int64_t, int64_t>> echain;  // (cell, next idx)
+  echain.reserve(static_cast<size_t>(nm) * 16 + 64);
   auto add_cell_edges = [&](int64_t c) {
     const int64_t* t = &cl[4 * c];
-    for (int e = 0; e < 6; ++e)
-      emap[ekey(t[LE[e][0]], t[LE[e][1]])].push_back(c);
+    for (int e = 0; e < 6; ++e) {
+      const uint64_t k = ekey(t[LE[e][0]], t[LE[e][1]]);
+      const int64_t head = ehead.get(k, -1);
+      echain.emplace_back(c, head);
+      ehead.put(k, static_cast<int64_t>(echain.size()) - 1);
+    }
   };
 
   // invoke fn(cell_id) for every cell (initial or child) containing k
@@ -189,12 +366,11 @@ extern "C" int64_t refine_marked_edges_c(
     auto lo = std::lower_bound(base_sorted.begin(), base_sorted.end(), k);
     for (; lo != base_sorted.end() && *lo == k; ++lo)
       fn(base_order[lo - base_sorted.begin()] / 6);
-    auto m = emap.find(k);
-    if (m != emap.end())
-      for (int64_t c : m->second) fn(c);
+    for (int64_t i = ehead.get(k, -1); i >= 0; i = echain[i].second)
+      fn(echain[i].first);
   };
 
-  std::unordered_set<uint64_t> S;
+  U64Set S(static_cast<size_t>(nm) * 4 + 64);
   for (int64_t i = 0; i < nm; ++i)
     S.insert(ekey(marked[2 * i], marked[2 * i + 1]));
 
@@ -234,7 +410,7 @@ extern "C" int64_t refine_marked_edges_c(
     for (int e = 0; e < 6; ++e) {
       const int64_t a = t[LE[e][0]], b = t[LE[e][1]];
       const uint64_t k = ekey(a, b);
-      if (!S.count(k)) continue;
+      if (!S.contains(k)) continue;
       const double dx = vx[3 * a] - vx[3 * b];
       const double dy = vx[3 * a + 1] - vx[3 * b + 1];
       const double dz = vx[3 * a + 2] - vx[3 * b + 2];
@@ -255,7 +431,10 @@ extern "C" int64_t refine_marked_edges_c(
   // marked edge gets its longest edge marked, to fixed point
   {
     std::vector<uint8_t> seen_cell(static_cast<size_t>(nc), 0);
-    std::vector<uint64_t> frontier(S.begin(), S.end());
+    std::vector<uint64_t> frontier;
+    frontier.reserve(S.n);
+    for (uint64_t v : S.tab)
+      if (v) frontier.push_back(v);
     while (!frontier.empty()) {
       std::vector<uint64_t> next;
       for (uint64_t k : frontier) {
@@ -264,24 +443,28 @@ extern "C" int64_t refine_marked_edges_c(
           seen_cell[c] = 1;
           int la, lb;
           const uint64_t lk = longest_of(c, &la, &lb);
-          if (S.insert(lk).second) next.push_back(lk);
+          if (S.insert(lk)) next.push_back(lk);
         });
       }
       frontier.swap(next);
     }
   }
 
+  prof::mark("refine: closure BFS", t_all);
   // phase 2: subdivision rounds.  Seed frontier per round: initially
   // the closed set; after a bisection round only CHILDREN can still
   // contain marked edges (every cell containing one was bisected), so
   // the seed shrinks to (children edges ∩ S).
-  std::vector<uint64_t> seed(S.begin(), S.end());
+  std::vector<uint64_t> seed;
+  seed.reserve(S.n);
+  for (uint64_t v : S.tab)
+    if (v) seed.push_back(v);
   std::vector<uint8_t> needy;  // indexed by cell id (grows)
   // GLOBAL midpoint memo: neighbors may bisect the same edge in
   // different rounds; both must connect to ONE midpoint vertex (a
   // per-round memo created duplicate coincident vertices -> hanging
   // faces)
-  std::unordered_map<uint64_t, int64_t> mid_of;
+  U64Map mid_of(static_cast<size_t>(nm) * 4 + 64);
   for (int64_t pass = 0; pass < max_passes; ++pass) {
     needy.assign(cl.size() / 4, 0);
     std::vector<int64_t> needy_ids;
@@ -313,14 +496,14 @@ extern "C" int64_t refine_marked_edges_c(
     std::sort(ukeys.begin(), ukeys.end());
     ukeys.erase(std::unique(ukeys.begin(), ukeys.end()), ukeys.end());
     for (size_t i = 0; i < ukeys.size(); ++i) {
-      if (mid_of.count(ukeys[i])) continue;  // split in an earlier round
+      if (mid_of.get(ukeys[i], -1) >= 0) continue;  // split earlier
       const int64_t a = static_cast<int64_t>(ukeys[i] >> 32);
       const int64_t b = static_cast<int64_t>(ukeys[i] & 0xFFFFFFFFull);
       const int64_t id = static_cast<int64_t>(vx.size() / 3);
       vx.push_back(0.5 * (vx[3 * a] + vx[3 * b]));
       vx.push_back(0.5 * (vx[3 * a + 1] + vx[3 * b + 1]));
       vx.push_back(0.5 * (vx[3 * a + 2] + vx[3 * b + 2]));
-      mid_of[ukeys[i]] = id;
+      mid_of.put(ukeys[i], id);
     }
 
     std::vector<int64_t> ch1_ids, ch2_ids;
@@ -329,7 +512,7 @@ extern "C" int64_t refine_marked_edges_c(
     for (int pass_child = 0; pass_child < 2; ++pass_child) {
       for (size_t i = 0; i < bis.size(); ++i) {
         const int64_t c = bis[i];
-        const int64_t mid = mid_of[key_of_bis[i]];
+        const int64_t mid = mid_of.get(key_of_bis[i], -1);
         const int64_t id = static_cast<int64_t>(cl.size() / 4);
         for (int j = 0; j < 4; ++j) cl.push_back(cl[4 * c + j]);
         cl[4 * id + (pass_child == 0 ? la_of[i] : lb_of[i])] = mid;
@@ -346,18 +529,19 @@ extern "C" int64_t refine_marked_edges_c(
 
     // next round's seed: split keys still present on the new children
     seed.clear();
-    std::unordered_set<uint64_t> seen;
+    U64Set seen(bis.size() * 2 + 64);
     for (const auto& ids : {ch1_ids, ch2_ids})
       for (int64_t c : ids) {
         const int64_t* t = &cl[4 * c];
         for (int e = 0; e < 6; ++e) {
           const uint64_t k = ekey(t[LE[e][0]], t[LE[e][1]]);
-          if (S.count(k) && seen.insert(k).second) seed.push_back(k);
+          if (S.contains(k) && seen.insert(k)) seed.push_back(k);
         }
       }
     if (seed.empty()) break;
   }
 
+  prof::mark("refine: passes", t_all);
   *out_nv = static_cast<int64_t>(vx.size() / 3);
   *out_nc = static_cast<int64_t>(order.size());
   if (*out_nv > cap_v || *out_nc > cap_c) return 1;
@@ -365,6 +549,7 @@ extern "C" int64_t refine_marked_edges_c(
   for (size_t i = 0; i < order.size(); ++i)
     for (int j = 0; j < 4; ++j)
       out_cells[4 * i + j] = cl[4 * order[i] + j];
+  prof::mark("refine: total", t_all);
   return 0;
 }
 
