@@ -44,7 +44,12 @@ class TetTopology:
 
         det([b-a, c-a, d-a]) via the explicit triple product —
         np.linalg.det's batched LU measured ~7 s over the 150k-dof spoke
-        cascade where this form is ~0.3 s."""
+        cascade where this form is ~0.3 s.  The native pass flips in
+        place with zero temporaries (the numpy route gathers ~10
+        page-faulting [nc, 3] arrays)."""
+        from tpufem.native import orient_cells
+        if orient_cells(self.vertices, self._cells):
+            return
         v = self.vertices
         c = self._cells
         a = v[c[:, 0]]
@@ -87,6 +92,14 @@ class TetTopology:
         self._cell_edge_flipped = pairs[..., 0] > pairs[..., 1]
 
     def _build_faces(self) -> None:
+        from tpufem.native import tet_faces
+        got = tet_faces(self._cells, self.vertices.shape[0])
+        if got is not None:
+            # one native radix pass (same sorted-key order and stable
+            # first-cell as the numpy route; ~8 s -> ~1 s at 866k cells)
+            (self._face_verts, self._cell_faces, self._face_cells,
+             self._boundary_faces) = got
+            return
         tris = np.sort(self._cells[:, LOCAL_FACES], axis=-1)  # [C, 4, 3]
         flat = tris.reshape(-1, 3)
         nv = self.vertices.shape[0]

@@ -71,6 +71,21 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_uint8)]
         lib.tet_edges_c.restype = ctypes.c_int64
+        lib.orient_cells_c.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64]
+        lib.orient_cells_c.restype = ctypes.c_int64
+        lib.tet_faces_c.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
+        lib.tet_faces_c.restype = ctypes.c_int64
+        lib.cells_to_csr_dedup.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double)]
+        lib.cells_to_csr_dedup.restype = ctypes.c_int64
         lib.csr_fill_ell.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
@@ -218,6 +233,76 @@ def tet_edges(cells: np.ndarray, nv: int):
     if ne < 0:
         return None
     return edge_verts[:ne].copy(), cell_edges, flipped.astype(bool)
+
+
+def orient_cells(verts: np.ndarray, cells: np.ndarray) -> bool:
+    """Flip cells IN PLACE to positive Jacobian (one native streaming
+    pass).  Returns True when handled natively; False -> caller uses
+    the numpy fallback.  ``cells`` must be contiguous int64."""
+    lib = _get()
+    if lib is None:
+        return False
+    v = np.ascontiguousarray(verts, dtype=np.float64)
+    assert cells.dtype == np.int64 and cells.flags.c_contiguous
+    lib.orient_cells_c(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(cells.shape[0]))
+    return True
+
+
+def tet_faces(cells: np.ndarray, nv: int):
+    """Unique faces of a tet mesh in one native pass: (face_verts
+    [nf, 3] sorted triples, cell_faces [nc, 4], face_cells [nf, 2]
+    (-1-padded), boundary_faces [nb]) per
+    tpufem.mesh.structured.LOCAL_FACES, or None when unavailable or
+    nv >= 2^21 (21-bit key packing)."""
+    lib = _get()
+    if lib is None or nv >= (1 << 21):
+        return None
+    c = np.ascontiguousarray(cells, dtype=np.int64)
+    nc = c.shape[0]
+    face_verts = np.empty((4 * max(nc, 1), 3), dtype=np.int64)
+    cell_faces = np.empty((nc, 4), dtype=np.int64)
+    face_cells = np.empty((4 * max(nc, 1), 2), dtype=np.int64)
+    bnd = np.empty(4 * max(nc, 1), dtype=np.uint8)
+    nf = lib.tet_faces_c(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(nc), ctypes.c_int64(nv),
+        face_verts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cell_faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        face_cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bnd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if nf < 0:
+        return None
+    return (face_verts[:nf].copy(), cell_faces, face_cells[:nf].copy(),
+            np.nonzero(bnd[:nf])[0])
+
+
+def cells_to_csr(cell_dofs: np.ndarray, A: np.ndarray, N: int):
+    """Element tensors + dofmap -> deduplicated scalar CSR in one
+    native pass (indptr, indices i32, data f64), or None when the
+    native library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    cd = np.ascontiguousarray(cell_dofs, dtype=np.int64)
+    Av = np.ascontiguousarray(A, dtype=np.float64)
+    ncells, n = cd.shape
+    nnz = ncells * n * n
+    indptr = np.empty(N + 1, dtype=np.int64)
+    cols = np.empty(nnz, dtype=np.int32)
+    vals = np.empty(nnz, dtype=np.float64)
+    m = lib.cells_to_csr_dedup(
+        cd.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        Av.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(ncells), ctypes.c_int64(n), ctypes.c_int64(N),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if m < 0:
+        return None
+    return indptr, cols[:m].copy(), vals[:m].copy()
 
 
 def csr_fill_ell(indptr: np.ndarray, indices: np.ndarray,

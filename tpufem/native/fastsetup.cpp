@@ -140,6 +140,125 @@ int64_t tet_edges_c(const int64_t* cells, int64_t nc, int64_t nv,
   return ne;
 }
 
+// Positive-Jacobian cell orientation, in place: swap local vertices
+// 2,3 when det([b-a, c-a, d-a]) < 0.  One streaming pass, no
+// temporaries (the numpy gather route materialized ~10 page-faulting
+// [nc, 3] arrays per topology build).  Returns the flip count.
+int64_t orient_cells_c(const double* verts, int64_t* cells, int64_t nc) {
+  int64_t flips = 0;
+  for (int64_t c = 0; c < nc; ++c) {
+    int64_t* t = &cells[4 * c];
+    const double* a = &verts[3 * t[0]];
+    const double* b = &verts[3 * t[1]];
+    const double* p = &verts[3 * t[2]];
+    const double* q = &verts[3 * t[3]];
+    const double b0 = b[0] - a[0], b1 = b[1] - a[1], b2 = b[2] - a[2];
+    const double c0 = p[0] - a[0], c1 = p[1] - a[1], c2 = p[2] - a[2];
+    const double d0 = q[0] - a[0], d1 = q[1] - a[1], d2 = q[2] - a[2];
+    const double det = b0 * (c1 * d2 - c2 * d1) - b1 * (c0 * d2 - c2 * d0)
+                       + b2 * (c0 * d1 - c1 * d0);
+    if (det < 0) {
+      std::swap(t[2], t[3]);
+      ++flips;
+    }
+  }
+  return flips;
+}
+
+// Tet-mesh face derivation in one native pass (numpy sort/unique/
+// argsort route measured ~8 s at 866k cells on the 1-vCPU host).
+// cells [nc, 4] -> unique faces: face_verts [nf, 3] (sorted triple),
+// cell_faces [nc, 4] (per LOCAL_FACES slot), face_cells [nf, 2]
+// (-1-padded, first-seen order like the numpy stable argsort),
+// bnd [nf] flags (count == 1).  Requires nv < 2^21 (21-bit packing).
+// Returns nf, or -1 on overflow.
+int64_t tet_faces_c(const int64_t* cells, int64_t nc, int64_t nv,
+                    int64_t* face_verts, int64_t* cell_faces,
+                    int64_t* face_cells, uint8_t* bnd) {
+  // Basix local faces (tpufem.mesh.structured.LOCAL_FACES)
+  static const int LF[4][3] = {{1, 2, 3}, {0, 2, 3}, {0, 1, 3}, {0, 1, 2}};
+  if (nv >= (int64_t(1) << 21)) return -1;
+  const int64_t n = nc * 4;
+  std::vector<uint64_t> keys(static_cast<size_t>(n));
+  for (int64_t c = 0; c < nc; ++c) {
+    const int64_t* t = &cells[4 * c];
+    for (int f = 0; f < 4; ++f) {
+      int64_t a = t[LF[f][0]], b = t[LF[f][1]], d = t[LF[f][2]];
+      if (a > b) std::swap(a, b);
+      if (b > d) std::swap(b, d);
+      if (a > b) std::swap(a, b);
+      keys[4 * c + f] = (static_cast<uint64_t>(a) << 42) |
+                        (static_cast<uint64_t>(b) << 21) |
+                        static_cast<uint64_t>(d);
+    }
+  }
+  std::vector<int64_t> perm(static_cast<size_t>(n));
+  radix_argsort_u64(keys.data(), n, perm.data());
+  int64_t nf = 0;
+  uint64_t prev = ~uint64_t(0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t src = perm[i];
+    const uint64_t k = keys[src];
+    if (k != prev) {
+      prev = k;
+      face_verts[3 * nf] = static_cast<int64_t>(k >> 42);
+      face_verts[3 * nf + 1] = static_cast<int64_t>((k >> 21) & 0x1FFFFFu);
+      face_verts[3 * nf + 2] = static_cast<int64_t>(k & 0x1FFFFFu);
+      face_cells[2 * nf] = src / 4;
+      face_cells[2 * nf + 1] = -1;
+      bnd[nf] = 1;
+      ++nf;
+    } else {
+      face_cells[2 * (nf - 1) + 1] = src / 4;
+      bnd[nf - 1] = 0;
+    }
+    cell_faces[src] = nf - 1;
+  }
+  return nf;
+}
+
+// Element tensors + cell dofmap -> deduplicated CSR in ONE native pass
+// (scalar block size).  Replaces the numpy repeat/tile/concatenate
+// triplet materialization in fem.assemble.assemble_operator (~300 MB
+// of page-faulting temporaries on this VM).  A is [ncells, n, n] f64,
+// cd is [ncells, n] i64.  Outputs as coo_to_csr_dedup.
+int64_t cells_to_csr_dedup(const int64_t* cd, const double* A,
+                           int64_t ncells, int64_t n, int64_t N,
+                           int64_t* indptr, int32_t* out_cols,
+                           double* out_vals) {
+  const int64_t nnz = ncells * n * n;
+  const uint64_t uN = static_cast<uint64_t>(N);
+  std::vector<uint64_t> key(static_cast<size_t>(nnz));
+  for (int64_t c = 0; c < ncells; ++c) {
+    const int64_t* d = &cd[n * c];
+    uint64_t* kc = &key[n * n * c];
+    for (int64_t i = 0; i < n; ++i) {
+      const uint64_t ri = static_cast<uint64_t>(d[i]) * uN;
+      for (int64_t j = 0; j < n; ++j)
+        kc[i * n + j] = ri + static_cast<uint64_t>(d[j]);
+    }
+  }
+  std::vector<int64_t> perm(static_cast<size_t>(nnz));
+  radix_argsort_u64(key.data(), nnz, perm.data());
+  for (int64_t r = 0; r <= N; ++r) indptr[r] = 0;
+  int64_t out = 0;
+  int64_t i = 0;
+  while (i < nnz) {
+    const uint64_t k = key[perm[i]];
+    double acc = A[perm[i]];
+    ++i;
+    while (i < nnz && key[perm[i]] == k) acc += A[perm[i++]];
+    if (acc != 0.0) {
+      out_cols[out] = static_cast<int32_t>(k % uN);
+      out_vals[out] = acc;
+      ++indptr[(k / uN) + 1];
+      ++out;
+    }
+  }
+  for (int64_t r = 0; r < N; ++r) indptr[r + 1] += indptr[r];
+  return out;
+}
+
 // COO triplets -> deduplicated CSR in one native pass: radix argsort by
 // key = row * n + col, then a single sweep summing duplicates, dropping
 // exact zeros (scipy sum_duplicates + eliminate_zeros semantics) and
