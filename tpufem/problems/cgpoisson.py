@@ -148,6 +148,25 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
                 pass
         if "use_conv" in cfg.solver.extra:
             cfg.solver._consumed.add("use_conv")
+        if (order >= 2 and baked and isinstance(op, DiaOperator)
+                and op.is_const() and cfg.solver.extra.get("use_flat")):
+            # OPT-IN (-use_flat 1): channel-plane layout with the interior
+            # as one Pallas MXU matmul per plane pair (fem/flat_op.py).
+            # Measured SLOWER than the fused-slice DIA apply on v5e
+            # (P2 594 vs ~160 us, P3 1123 vs ~830 us per apply at 510-517k
+            # dofs) — kept as the tested foundation for a fused-corrections
+            # kernel; see the flat_op module header for the breakdown.
+            from tpufem.fem.flat_op import FlatOperator
+            fop = FlatOperator.from_dia(op)
+            if fop is not None:
+                op = fop
+            else:
+                import logging
+                logging.getLogger("tpufem").warning(
+                    "use_flat ignored: operator structure does not fit "
+                    "(non-unit shifts, tiny grid, or bs > 1)")
+        if "use_flat" in cfg.solver.extra:
+            cfg.solver._consumed.add("use_flat")
         if order == 1 and cfg.solver.extra.get("use_pallas"):
             # fused single-pass stencil kernel (opt-in; the default
             # XLA table apply fuses to the same single pass and
@@ -192,7 +211,18 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         # zero initial guess (the reference's un starts at 0 with BC
         # values already lifted into b): no operator application
         # outside the while_loop at all
-        if isinstance(op_, ConvStencilOp) and baked:
+        from tpufem.fem.flat_op import FlatOperator
+        if isinstance(op_, FlatOperator):
+            # channel-resident loop: flat<->channel relayout pays once
+            # per solve; dots over the zero-padded plane buffer equal
+            # dofwise dots (padding/guard lanes stay exactly zero)
+            def run_fl(o, x, r):
+                r_f = o.to_flat(r)
+                x_f, it, rel = cg_solve_fused(o.apply_flat, r_f, x0=None,
+                                              rtol=rtol, maxit=kmax)
+                return o.from_flat(x_f).astype(r.dtype), it, rel
+            cache["run"] = compile_aot(run_fl, op_, x0, rhs_)
+        elif isinstance(op_, ConvStencilOp) and baked:
             # channel-resident loop: the flat<->channel relayout pays
             # once per SOLVE, not per iteration (conv_op.apply_channels)
             def run_ch(o, x, r):
