@@ -1,9 +1,19 @@
 """Benchmark harness — run on real TPU hardware by the driver.
 
-Reproduces the reference's recommended weak-scaling configuration shapes
-(README.md:110-128: Poisson, 500k DOF/proc, CG rtol 1e-8 + AMG) plus the
-matrix-free cgpoisson throughput metric (Gdof/s = iters * dofs / s / 1e9,
-src/cgpoisson_problem.cpp:236-242), on one chip.
+Reproduces the reference's recommended configuration shapes on one chip:
+weak-scaling 500k DOF/proc (README.md:110-128: Poisson, CG rtol 1e-8 +
+AMG; README.md:63-82: elasticity + nullspace-seeded AMG), the 10M-DOF
+strong-scaling problems (README.md:129-146, :84-104), the matrix-free
+cgpoisson throughput metric (Gdof/s = iters * dofs / s / 1e9,
+src/cgpoisson_problem.cpp:236-242), and the unstructured spoke mesh
+(ccpp.yml:102-117) at 150k and the reference's 500k weak size.
+
+Fidelity: every converged f32 solve is certified against a float64 host
+twin of the assembled system (la/refine.py) — ``*_true_rel`` is the true
+relative residual ||b - A x||_2 / ||b||_2 measured in f64 AFTER
+mixed-precision iterative refinement, and ``*_contract_ok`` asserts
+true_rel <= 10 * ksp_rtol (the reference's PetscScalar=double 1e-8
+contract, src/poisson_problem.cpp:27 + README.md:72).
 
 Cold-vs-warm reporting: ``*_solve_first_s`` is the COLD wall of the
 first blocking solve call — preconditioner setup + client AOT compile +
@@ -21,7 +31,8 @@ Prints ONE JSON line:
 
 The reference publishes no absolute numbers in-tree (BASELINE.md), so
 vs_baseline is reported against the previous round's value when
-BENCH_PREV.json exists, else 1.0.
+BENCH_PREV.json exists, else 1.0.  Sections are individually fenced:
+one failing entry logs and skips rather than losing the whole report.
 """
 
 from __future__ import annotations
@@ -31,6 +42,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -47,6 +59,54 @@ logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
 _T0 = time.perf_counter()
 REPS = 10
+RTOL = 1e-8
+# global wall budget: once exceeded, remaining sections are skipped so
+# the final JSON line always prints (the terminal's compile lottery can
+# cost minutes per NEW program shape; see README "Cold-start")
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 3300))
+
+
+class _SectionSkip(Exception):
+    pass
+
+
+def budget_check() -> None:
+    """First statement of every section body: skip once over budget."""
+    if time.perf_counter() - _T0 > BUDGET_S:
+        raise _SectionSkip
+
+
+@contextlib.contextmanager
+def section(name: str):
+    """Fence a bench entry: a failure logs + skips, keeping the report;
+    bodies call budget_check() first, so entries past the wall budget
+    are skipped entirely."""
+    t0 = time.perf_counter()
+    try:
+        yield
+        log(f"section {name} done in {time.perf_counter() - t0:.1f}s")
+    except _SectionSkip:
+        log(f"section {name} SKIPPED: past the {BUDGET_S:.0f}s wall budget")
+    except Exception:
+        log(f"section {name} FAILED after {time.perf_counter() - t0:.1f}s:"
+            f"\n{traceback.format_exc()}")
+
+
+def fidelity_keys(extra: dict, key: str, solver_function) -> None:
+    """Record the f64 true-residual certification of the last solve."""
+    tr = getattr(solver_function, "_last_true_rel", None)
+    if tr is None:
+        return
+    extra[f"{key}_true_rel"] = float(f"{tr:.3e}")
+    extra[f"{key}_refine_passes"] = getattr(solver_function,
+                                            "_last_refine_passes", 0)
+    extra[f"{key}_certify_s"] = round(getattr(solver_function,
+                                              "_last_certify_s", 0.0), 4)
+    ok = tr <= 10 * RTOL
+    extra[f"{key}_contract_ok"] = bool(ok)
+    if not ok:
+        log(f"FIDELITY CONTRACT VIOLATED: {key} true_rel {tr:.3e} > "
+            f"{10 * RTOL:.0e}")
 
 
 def cold_subprocess_first_solve() -> float:
@@ -115,6 +175,17 @@ def timed_solves(prob, reps: int = REPS, passes: int = 3) -> float:
     return best
 
 
+def first_solve(prob) -> tuple:
+    """(solution, iterations, wall seconds) of the first blocking solve
+    with a scalar-readback completion barrier."""
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sys.stderr):
+        x, it = prob.solver_function(prob.u, prob.b)
+        float(jnp.ravel(x)[-1])
+    return x, it, time.perf_counter() - t0
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -139,230 +210,326 @@ def main() -> None:
     from tpufem.config import Config, SolverOptions
     from tpufem.mesh import BoxTetMesh
     from tpufem.mesh.structured import compute_box_size_structured
-    from tpufem.problems import cgpoisson, poisson
+    from tpufem.problems import cgpoisson, elasticity, poisson
     from tpufem.problems.poisson import make_solver
     from tpufem.timing import REGISTRY
 
+    headline = {"value": 0.0}
+
     # ---- 1. Poisson P1, 500k dofs, CG + geometric multigrid, rtol 1e-8 ----
     NDOFS = 500_000
-    cfg = Config(problem_type="poisson", ndofs=NDOFS, scaling_type="strong",
-                 dtype="float32",
-                 solver=SolverOptions(pc_type="gmg", ksp_rtol=1e-8,
-                                      ksp_max_it=100))
-    nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 1, 1, 1)
-    mesh = BoxTetMesh(nx, ny, nz)
+    with section("poisson_p1_500k"):
+        budget_check()
+        cfg = Config(problem_type="poisson", ndofs=NDOFS,
+                     scaling_type="strong", dtype="float32",
+                     solver=SolverOptions(pc_type="gmg", ksp_rtol=RTOL,
+                                          ksp_max_it=100))
+        nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 1, 1, 1)
+        mesh = BoxTetMesh(nx, ny, nz)
 
-    # warm build: first-touch XLA compiles (RHS assembly programs) land
-    # here, NOT in the timed assemble — the reference's kernels are
-    # AOT-compiled at build time (ffcx/C++), so including JIT compilation
-    # in the assemble stage would not be apples-to-apples.  The warm
-    # problem is discarded; the timed build below reuses every cached
-    # executable.
-    log(f"poisson P1: mesh {mesh.Nx}x{mesh.Ny}x{mesh.Nz}, warm build")
-    with contextlib.redirect_stdout(sys.stderr):
-        poisson.problem(mesh, 1, cfg)
+        # warm build: first-touch XLA compiles (RHS assembly programs)
+        # land here, NOT in the timed assemble — the reference's kernels
+        # are AOT-compiled at build time (ffcx/C++), so including JIT
+        # compilation in the assemble stage would not be apples-to-apples.
+        log(f"poisson P1: mesh {mesh.Nx}x{mesh.Ny}x{mesh.Nz}, warm build")
+        with contextlib.redirect_stdout(sys.stderr):
+            poisson.problem(mesh, 1, cfg)
 
-    REGISTRY.reset()
-    log("poisson P1: timed build")
-    t0 = time.perf_counter()
-    with contextlib.redirect_stdout(sys.stderr):
-        prob = poisson.problem(mesh, 1, cfg)
-    assemble_s = time.perf_counter() - t0
-    for name, reps, tot in REGISTRY.rows():
-        log(f"  stage {name}: {tot:.2f}s")
-    log(f"assembled in {assemble_s:.2f}s; COLD first solve in a fresh "
-        "subprocess (terminal compile)")
-    cold_s = cold_subprocess_first_solve()
-    log(f"cold-process first solve {cold_s:.1f}s; this process's first "
-        "solve (restart experience: persistent + terminal caches warm)")
+        REGISTRY.reset()
+        log("poisson P1: timed build")
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(sys.stderr):
+            prob = poisson.problem(mesh, 1, cfg)
+        assemble_s = time.perf_counter() - t0
+        for name, reps, tot in REGISTRY.rows():
+            log(f"  stage {name}: {tot:.2f}s")
+        log(f"assembled in {assemble_s:.2f}s; COLD first solve in a fresh "
+            "subprocess (terminal compile)")
+        cold_s = cold_subprocess_first_solve()
+        log(f"cold-process first solve {cold_s:.1f}s; this process's first "
+            "solve (restart experience: persistent + terminal caches warm)")
 
-    # first call here = PC setup + cached AOT compile + cached terminal
-    # load — the process-RESTART cost the persistent cache exists for
-    t0 = time.perf_counter()
-    with contextlib.redirect_stdout(sys.stderr):
-        x, it = prob.solver_function(prob.u, prob.b)
-        float(jnp.ravel(x)[-1])  # scalar readback: real completion barrier
-    solve_first_s = time.perf_counter() - t0
-    pc_setup_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
-    log(f"first solve {solve_first_s:.2f}s (PC setup {pc_setup_s:.2f}s, "
-        f"{it} iters); timing warm solve")
-    solve_s = timed_solves(prob)
-    log(f"warm solve {solve_s:.4f}s")
+        # first call here = PC setup + cached AOT compile + cached terminal
+        # load — the process-RESTART cost the persistent cache exists for
+        x, it, solve_first_s = first_solve(prob)
+        pc_setup_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
+        log(f"first solve {solve_first_s:.2f}s (PC setup {pc_setup_s:.2f}s,"
+            f" {it} iters); timing warm solve")
+        solve_s = timed_solves(prob)
+        log(f"warm solve {solve_s:.4f}s")
 
-    ndofs = prob.space.ndofs
-    total_s = assemble_s + solve_s
-    extra.update({
-        "poisson_p1_ndofs": ndofs,
-        "poisson_p1_assemble_s": round(assemble_s, 4),
-        "poisson_p1_solve_s": round(solve_s, 4),
-        "poisson_p1_solve_first_s": round(solve_first_s, 4),
-        "poisson_p1_solve_first_cold_s": round(cold_s, 4),
-        "poisson_p1_pc_setup_s": round(pc_setup_s, 4),
-        "poisson_p1_iterations": it,
-        "poisson_p1_dofs_per_s": round(ndofs / total_s, 1),
-    })
+        ndofs = prob.space.ndofs
+        total_s = assemble_s + solve_s
+        headline["value"] = round(ndofs / total_s, 1)
+        extra.update({
+            "poisson_p1_ndofs": ndofs,
+            "poisson_p1_assemble_s": round(assemble_s, 4),
+            "poisson_p1_solve_s": round(solve_s, 4),
+            "poisson_p1_solve_first_s": round(solve_first_s, 4),
+            "poisson_p1_solve_first_cold_s": round(cold_s, 4),
+            "poisson_p1_pc_setup_s": round(pc_setup_s, 4),
+            "poisson_p1_iterations": it,
+            "poisson_p1_dofs_per_s": round(ndofs / total_s, 1),
+        })
+        fidelity_keys(extra, "poisson_p1", prob.solver_function)
+        del prob, x
 
     # ---- 2. matrix-free cgpoisson P2/P3, 500k dofs, Gdof/s ----------------
     for order, key in ((2, "cgpoisson_p2"), (3, "cgpoisson_p3")):
-        cfg2 = Config(problem_type="cgpoisson", ndofs=NDOFS,
-                      scaling_type="strong", dtype="float32",
-                      solver=SolverOptions())
-        nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 1,
-                                                      order, 1)
-        mesh2 = BoxTetMesh(nx, ny, nz)
-        log(f"cgpoisson P{order}: building problem")
-        with contextlib.redirect_stdout(sys.stderr):
-            prob2 = cgpoisson.problem(mesh2, order, cfg2)
-            x2, it2 = prob2.solver_function(prob2.u, prob2.b)
-        gdofs = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
-        log(f"cgpoisson P{order} done: {gdofs:.3f} Gdof/s")
-        extra.update({
-            f"{key}_ndofs": prob2.space.ndofs,
-            f"{key}_iterations": it2,
-            f"{key}_gdof_per_s": round(gdofs, 3),
-            f"{key}_solve_s": round(
-                getattr(cgpoisson.problem, "_last_solve_s", 0.0), 4),
-        })
+        with section(key):
+            budget_check()
+            cfg2 = Config(problem_type="cgpoisson", ndofs=NDOFS,
+                          scaling_type="strong", dtype="float32",
+                          solver=SolverOptions())
+            nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 1,
+                                                          order, 1)
+            mesh2 = BoxTetMesh(nx, ny, nz)
+            log(f"cgpoisson P{order}: building problem")
+            with contextlib.redirect_stdout(sys.stderr):
+                prob2 = cgpoisson.problem(mesh2, order, cfg2)
+                x2, it2 = prob2.solver_function(prob2.u, prob2.b)
+            gdofs = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
+            log(f"cgpoisson P{order} done: {gdofs:.3f} Gdof/s")
+            extra.update({
+                f"{key}_ndofs": prob2.space.ndofs,
+                f"{key}_iterations": it2,
+                f"{key}_gdof_per_s": round(gdofs, 3),
+                f"{key}_solve_s": round(
+                    getattr(cgpoisson.problem, "_last_solve_s", 0.0), 4),
+            })
+            del prob2, x2
 
     # ---- 3. matrix-free cgpoisson P1, 2M dofs (BASELINE.md config) --------
-    nx, ny, nz, _lv = compute_box_size_structured(2_000_000, True, 1, 1, 1)
-    mesh3 = BoxTetMesh(nx, ny, nz)
-    log("cgpoisson P1 2M: building problem")
-    with contextlib.redirect_stdout(sys.stderr):
-        cfg3 = Config(problem_type="cgpoisson", ndofs=2_000_000,
+    with section("cgpoisson_p1_2m"):
+        budget_check()
+        nx, ny, nz, _lv = compute_box_size_structured(2_000_000, True, 1,
+                                                      1, 1)
+        mesh3 = BoxTetMesh(nx, ny, nz)
+        log("cgpoisson P1 2M: building problem")
+        with contextlib.redirect_stdout(sys.stderr):
+            cfg3 = Config(problem_type="cgpoisson", ndofs=2_000_000,
+                          scaling_type="strong", dtype="float32",
+                          solver=SolverOptions())
+            prob3 = cgpoisson.problem(mesh3, 1, cfg3)
+            x3, it3 = prob3.solver_function(prob3.u, prob3.b)
+        gdofs3 = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
+        log(f"cgpoisson P1 2M done: {gdofs3:.3f} Gdof/s")
+        extra.update({
+            "cgpoisson_p1_2m_ndofs": prob3.space.ndofs,
+            "cgpoisson_p1_2m_gdof_per_s": round(gdofs3, 3),
+        })
+        del prob3, x3
+
+    # ---- 4. 10M-DOF strong-scaling configs (README.md:129-146, :84-104) ---
+    with section("poisson_p1_10m"):
+        budget_check()
+        ND10 = 10_000_000
+        cfgA = Config(problem_type="poisson", ndofs=ND10,
+                      scaling_type="strong", dtype="float32",
+                      solver=SolverOptions(pc_type="gmg", ksp_rtol=RTOL,
+                                           ksp_max_it=100))
+        nxa, nya, nza, _lv = compute_box_size_structured(ND10, True, 1, 1, 1)
+        meshA = BoxTetMesh(nxa, nya, nza)
+        log(f"poisson P1 10M: mesh {nxa}x{nya}x{nza}, build")
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(sys.stderr):
+            probA = poisson.problem(meshA, 1, cfgA)
+        assembleA_s = time.perf_counter() - t0
+        xA, itA, firstA_s = first_solve(probA)
+        pcA_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
+        solveA_s = timed_solves(probA, reps=5, passes=2)
+        ndA = probA.space.ndofs
+        log(f"poisson P1 10M: assemble {assembleA_s:.1f}s, first solve "
+            f"{firstA_s:.1f}s (PC {pcA_s:.1f}s), warm {solveA_s:.4f}s, "
+            f"{itA} iters -> {ndA / (assembleA_s + solveA_s) / 1e6:.1f} "
+            "Mdof/s")
+        extra.update({
+            "poisson_p1_10m_ndofs": ndA,
+            "poisson_p1_10m_assemble_s": round(assembleA_s, 4),
+            "poisson_p1_10m_solve_s": round(solveA_s, 4),
+            "poisson_p1_10m_solve_first_s": round(firstA_s, 4),
+            "poisson_p1_10m_pc_setup_s": round(pcA_s, 4),
+            "poisson_p1_10m_iterations": itA,
+            "poisson_p1_10m_dofs_per_s": round(
+                ndA / (assembleA_s + solveA_s), 1),
+        })
+        fidelity_keys(extra, "poisson_p1_10m", probA.solver_function)
+        del probA, xA
+
+    with section("cgpoisson_p1_10m"):
+        budget_check()
+        cfgB = Config(problem_type="cgpoisson", ndofs=10_000_000,
                       scaling_type="strong", dtype="float32",
                       solver=SolverOptions())
-        prob3 = cgpoisson.problem(mesh3, 1, cfg3)
-        x3, it3 = prob3.solver_function(prob3.u, prob3.b)
-    gdofs3 = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
-    log(f"cgpoisson P1 2M done: {gdofs3:.3f} Gdof/s")
-    extra.update({
-        "cgpoisson_p1_2m_ndofs": prob3.space.ndofs,
-        "cgpoisson_p1_2m_gdof_per_s": round(gdofs3, 3),
-    })
+        nxa, nya, nza, _lv = compute_box_size_structured(10_000_000, True,
+                                                         1, 1, 1)
+        meshB = BoxTetMesh(nxa, nya, nza)
+        log("cgpoisson P1 10M: building problem")
+        with contextlib.redirect_stdout(sys.stderr):
+            probB = cgpoisson.problem(meshB, 1, cfgB)
+            xB, itB = probB.solver_function(probB.u, probB.b)
+        gdofsB = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
+        log(f"cgpoisson P1 10M done: {gdofsB:.3f} Gdof/s")
+        extra.update({
+            "cgpoisson_p1_10m_ndofs": probB.space.ndofs,
+            "cgpoisson_p1_10m_iterations": itB,
+            "cgpoisson_p1_10m_gdof_per_s": round(gdofsB, 3),
+        })
+        del probB, xB
 
-    # ---- 4. elasticity P1, 500k dofs, CG + GMG, rtol 1e-8 ------------------
-    from tpufem.problems import elasticity
-    cfg4 = Config(problem_type="elasticity", ndofs=NDOFS,
-                  scaling_type="strong", dtype="float32",
-                  solver=SolverOptions(pc_type="gmg", ksp_rtol=1e-8,
-                                       ksp_max_it=100))
-    nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 3, 1, 1)
-    mesh4 = BoxTetMesh(nx, ny, nz)
-    log(f"elasticity P1: mesh {nx}x{ny}x{nz}, warm build")
-    with contextlib.redirect_stdout(sys.stderr):
-        elasticity.problem(mesh4, 1, cfg4)
-    log("elasticity P1: timed build")
-    t0 = time.perf_counter()
-    with contextlib.redirect_stdout(sys.stderr):
-        prob4 = elasticity.problem(mesh4, 1, cfg4)
-    assemble4_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    with contextlib.redirect_stdout(sys.stderr):
-        x4, it4 = prob4.solver_function(prob4.u, prob4.b)
-        float(jnp.ravel(x4)[-1])
-    first4_s = time.perf_counter() - t0
-    pc4_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
-    solve4_s = timed_solves(prob4)
-    log(f"elasticity P1 500k: assemble {assemble4_s:.2f}s, first solve "
-        f"{first4_s:.1f}s (PC setup {pc4_s:.2f}s), warm solve "
-        f"{solve4_s:.4f}s, {it4} iterations")
-    extra.update({
-        "elasticity_p1_ndofs": prob4.space.ndofs,
-        "elasticity_p1_assemble_s": round(assemble4_s, 4),
-        "elasticity_p1_solve_s": round(solve4_s, 4),
-        "elasticity_p1_solve_first_s": round(first4_s, 4),
-        "elasticity_p1_pc_setup_s": round(pc4_s, 4),
-        "elasticity_p1_iterations": it4,
-        "elasticity_p1_dofs_per_s": round(
-            prob4.space.ndofs / (assemble4_s + solve4_s), 1),
-    })
+    # ---- 5. elasticity 500k: P1+GMG, P2+GMG, P1+AMG(nullspace) ------------
+    # P1+GMG is the flagship; P2 exercises the slab/StructuredOperator
+    # p-transfer path; P1+AMG forces the reference's GAMG analogue with
+    # the 6-vector rigid-body near-nullspace end-to-end on TPU
+    # (README.md:63-82, elasticity_problem.cpp:36-94).
+    for order, pc, key in ((1, "gmg", "elasticity_p1"),
+                           (2, "gmg", "elasticity_p2"),
+                           (1, "amg", "elasticity_amg_500k")):
+        with section(key):
+            budget_check()
+            cfg4 = Config(problem_type="elasticity", ndofs=NDOFS,
+                          scaling_type="strong", dtype="float32",
+                          solver=SolverOptions(pc_type=pc, ksp_rtol=RTOL,
+                                               ksp_max_it=200))
+            nx, ny, nz, _lv = compute_box_size_structured(NDOFS, True, 3,
+                                                          order, 1)
+            mesh4 = BoxTetMesh(nx, ny, nz)
+            log(f"elasticity P{order}+{pc}: mesh {nx}x{ny}x{nz}, warm build")
+            with contextlib.redirect_stdout(sys.stderr):
+                elasticity.problem(mesh4, order, cfg4)
+            log(f"elasticity P{order}+{pc}: timed build")
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(sys.stderr):
+                prob4 = elasticity.problem(mesh4, order, cfg4)
+            assemble4_s = time.perf_counter() - t0
+            x4, it4, first4_s = first_solve(prob4)
+            pc4_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
+            # the AMG row iterates ~100x with a ~60 ms/iter ELL V-cycle:
+            # fewer reps keep the bench wall bounded
+            solve4_s = (timed_solves(prob4) if pc == "gmg"
+                        else timed_solves(prob4, reps=3, passes=2))
+            log(f"{key}: assemble {assemble4_s:.2f}s, first solve "
+                f"{first4_s:.1f}s (PC setup {pc4_s:.2f}s), warm solve "
+                f"{solve4_s:.4f}s, {it4} iterations")
+            extra.update({
+                f"{key}_ndofs": prob4.space.ndofs,
+                f"{key}_assemble_s": round(assemble4_s, 4),
+                f"{key}_solve_s": round(solve4_s, 4),
+                f"{key}_solve_first_s": round(first4_s, 4),
+                f"{key}_pc_setup_s": round(pc4_s, 4),
+                f"{key}_iterations": it4,
+                f"{key}_dofs_per_s": round(
+                    prob4.space.ndofs / (assemble4_s + solve4_s), 1),
+            })
+            fidelity_keys(extra, key, prob4.solver_function)
+            del prob4, x4
 
-    # ---- 5. SA-AMG: AMG-forced cube Poisson at 227k and 500k ---------------
+    # ---- 6. SA-AMG: AMG-forced cube Poisson at 227k and 500k ---------------
     for ndofs_amg, dims, key in ((216_000, (60, 60, 60), "poisson_amg"),
                                  (500_000, None, "poisson_amg_500k")):
-        cfg5 = Config(problem_type="poisson", ndofs=ndofs_amg,
-                      scaling_type="strong", dtype="float32",
-                      solver=SolverOptions(pc_type="amg", ksp_rtol=1e-8,
-                                           ksp_max_it=100))
-        if dims is None:
-            nx, ny, nz, _lv = compute_box_size_structured(
-                ndofs_amg, True, 1, 1, 1)
-            dims = (nx, ny, nz)
-        mesh5 = BoxTetMesh(*dims)
-        log(f"poisson + SA-AMG {key}: warm build")
-        with contextlib.redirect_stdout(sys.stderr):
-            poisson.problem(mesh5, 1, cfg5)
-        log(f"poisson + SA-AMG {key}: timed build")
-        t0 = time.perf_counter()
-        with contextlib.redirect_stdout(sys.stderr):
-            prob5 = poisson.problem(mesh5, 1, cfg5)
-        assemble5_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        with contextlib.redirect_stdout(sys.stderr):
-            x5, it5 = prob5.solver_function(prob5.u, prob5.b)
-            float(jnp.ravel(x5)[-1])
-        first5_s = time.perf_counter() - t0
-        setup5_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
-        solve5_s = timed_solves(prob5)
-        log(f"SA-AMG {key}: assemble {assemble5_s:.2f}s, host AMG setup "
-            f"{setup5_s:.2f}s (first solve incl. compile {first5_s:.1f}s), "
-            f"warm solve {solve5_s:.4f}s, {it5} iterations")
-        from tpufem.la.amg import SAAMG
-        dev5 = getattr(SAAMG, "last_phase_s", {}).get("device", 0.0)
-        extra.update({
-            f"{key}_ndofs": prob5.space.ndofs,
-            f"{key}_assemble_s": round(assemble5_s, 4),
-            f"{key}_setup_host_s": round(setup5_s, 4),
-            # device uploads + densify-program XLA compile inside the
-            # setup (tunnel/compile-lottery dominated; the host setup
-            # math is setup_host_s - this)
-            f"{key}_setup_device_s": round(dev5, 4),
-            f"{key}_solve_first_s": round(first5_s, 4),
-            f"{key}_solve_s": round(solve5_s, 4),
-            f"{key}_iterations": it5,
-        })
+        with section(key):
+            budget_check()
+            cfg5 = Config(problem_type="poisson", ndofs=ndofs_amg,
+                          scaling_type="strong", dtype="float32",
+                          solver=SolverOptions(pc_type="amg", ksp_rtol=RTOL,
+                                               ksp_max_it=100))
+            if dims is None:
+                nx, ny, nz, _lv = compute_box_size_structured(
+                    ndofs_amg, True, 1, 1, 1)
+                dims = (nx, ny, nz)
+            mesh5 = BoxTetMesh(*dims)
+            # warm pass INCLUDING the solve: the AMG setup's densify
+            # programs and the V-cycle executable land in the persistent
+            # caches here, so the timed pass below reports the
+            # warm-cache setup wall (VERDICT r3 #6)
+            log(f"poisson + SA-AMG {key}: warm build + solve")
+            with contextlib.redirect_stdout(sys.stderr):
+                probw = poisson.problem(mesh5, 1, cfg5)
+                t0 = time.perf_counter()
+                probw.solver_function(probw.u, probw.b)
+                cold5_s = time.perf_counter() - t0
+            from tpufem.la.amg import SAAMG
+            dev5_cold = getattr(SAAMG, "last_phase_s", {}).get("device", 0.0)
+            del probw
+            log(f"poisson + SA-AMG {key}: timed build (warm caches)")
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(sys.stderr):
+                prob5 = poisson.problem(mesh5, 1, cfg5)
+            assemble5_s = time.perf_counter() - t0
+            x5, it5, first5_s = first_solve(prob5)
+            setup5_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
+            solve5_s = timed_solves(prob5)
+            dev5 = getattr(SAAMG, "last_phase_s", {}).get("device", 0.0)
+            log(f"SA-AMG {key}: assemble {assemble5_s:.2f}s, warm AMG setup "
+                f"{setup5_s:.2f}s (device {dev5:.2f}s; cold first solve "
+                f"{cold5_s:.1f}s, cold device {dev5_cold:.2f}s), warm solve "
+                f"{solve5_s:.4f}s, {it5} iterations")
+            extra.update({
+                f"{key}_ndofs": prob5.space.ndofs,
+                f"{key}_assemble_s": round(assemble5_s, 4),
+                # warm-cache PC setup (host math + device uploads with
+                # densify programs already in the AOT persistent cache);
+                # *_setup_cold_first_s is the cold path incl. compiles
+                f"{key}_setup_host_s": round(setup5_s, 4),
+                f"{key}_setup_device_s": round(dev5, 4),
+                f"{key}_setup_cold_first_s": round(cold5_s, 4),
+                f"{key}_solve_first_s": round(first5_s, 4),
+                f"{key}_solve_s": round(solve5_s, 4),
+                f"{key}_iterations": it5,
+            })
+            fidelity_keys(extra, key, prob5.solver_function)
+            del prob5, x5
 
-    # ---- 6. Unstructured spoke mesh, 150k dofs, CG + SA-AMG ----------------
+    # ---- 7. Unstructured spoke mesh at 150k and the reference's 500k ------
     # The spoke system is singular by design (pure Neumann, PARITY.md) —
     # the reference runs it as a smoke job; here it doubles as the
     # assembled-ELL throughput probe, so iterations are capped and the
-    # metric is per-iteration time.
+    # metric is per-iteration time plus the first-solution wall
+    # (mesh + assemble + setup + first solve).
     from tpufem.mesh.spoke import create_spoke_mesh
-    cfg6 = Config(problem_type="poisson", mesh_type="unstructured",
-                  ndofs=150_000, scaling_type="strong", dtype="float32",
-                  solver=SolverOptions(ksp_rtol=1e-8, ksp_max_it=30))
-    t0 = time.perf_counter()
-    mesh6 = create_spoke_mesh(150_000, True, 1, 1, verbose=False)
-    mesh6_s = time.perf_counter() - t0
-    log(f"spoke mesh built in {mesh6_s:.1f}s; warm build")
-    with contextlib.redirect_stdout(sys.stderr):
-        poisson.problem(mesh6, 1, cfg6)
-    t0 = time.perf_counter()
-    with contextlib.redirect_stdout(sys.stderr):
-        prob6 = poisson.problem(mesh6, 1, cfg6)
-    assemble6_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    with contextlib.redirect_stdout(sys.stderr):
-        x6, it6 = prob6.solver_function(prob6.u, prob6.b)
-        float(jnp.ravel(x6)[-1])
-    first6_s = time.perf_counter() - t0
-    setup6_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
-    solve6_s = timed_solves(prob6, reps=3)
-    per_it6 = solve6_s / max(it6, 1)
-    log(f"spoke 150k: assemble {assemble6_s:.2f}s, AMG setup "
-        f"{setup6_s:.2f}s, warm {it6}-iteration solve {solve6_s:.3f}s "
-        f"-> {per_it6 * 1e3:.1f} ms/iter")
-    extra.update({
-        "poisson_spoke_ndofs": prob6.space.ndofs,
-        "poisson_spoke_mesh_s": round(mesh6_s, 4),
-        "poisson_spoke_assemble_s": round(assemble6_s, 4),
-        "poisson_spoke_setup_host_s": round(setup6_s, 4),
-        "poisson_spoke_solve_first_s": round(first6_s, 4),
-        "poisson_spoke_iter_ms": round(per_it6 * 1e3, 3),
-    })
+    for nd_spoke, key in ((150_000, "poisson_spoke"),
+                          (500_000, "poisson_spoke_500k")):
+        with section(key):
+            budget_check()
+            cfg6 = Config(problem_type="poisson", mesh_type="unstructured",
+                          ndofs=nd_spoke, scaling_type="strong",
+                          dtype="float32",
+                          solver=SolverOptions(ksp_rtol=RTOL,
+                                               ksp_max_it=30))
+            t0 = time.perf_counter()
+            mesh6 = create_spoke_mesh(nd_spoke, True, 1, 1, verbose=False)
+            mesh6_s = time.perf_counter() - t0
+            log(f"spoke {key} mesh built in {mesh6_s:.1f}s; warm build")
+            with contextlib.redirect_stdout(sys.stderr):
+                poisson.problem(mesh6, 1, cfg6)
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(sys.stderr):
+                prob6 = poisson.problem(mesh6, 1, cfg6)
+            assemble6_s = time.perf_counter() - t0
+            x6, it6, first6_s = first_solve(prob6)
+            setup6_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
+            solve6_s = timed_solves(prob6, reps=3, passes=2)
+            per_it6 = solve6_s / max(it6, 1)
+            # wall from nothing to the first solution: mesh generation +
+            # assembly + the first blocking solve (which contains the
+            # AMG/window setup and any residual compile)
+            first_solution_s = mesh6_s + assemble6_s + first6_s
+            log(f"{key}: mesh {mesh6_s:.1f}s, assemble {assemble6_s:.2f}s, "
+                f"AMG setup {setup6_s:.2f}s, warm {it6}-iteration solve "
+                f"{solve6_s:.3f}s -> {per_it6 * 1e3:.1f} ms/iter "
+                f"(first solution {first_solution_s:.1f}s)")
+            extra.update({
+                f"{key}_ndofs": prob6.space.ndofs,
+                f"{key}_mesh_s": round(mesh6_s, 4),
+                f"{key}_assemble_s": round(assemble6_s, 4),
+                f"{key}_setup_host_s": round(setup6_s, 4),
+                f"{key}_solve_first_s": round(first6_s, 4),
+                f"{key}_first_solution_s": round(first_solution_s, 4),
+                f"{key}_iter_ms": round(per_it6 * 1e3, 3),
+            })
+            del prob6, x6, mesh6
 
-    value = round(ndofs / total_s, 1)
+    value = headline["value"]
     vs = 1.0
     if os.path.exists("BENCH_PREV.json"):
         try:
