@@ -63,7 +63,10 @@ class SolverOptions:
     # ~5k instead of ~34k rows of gather-bound ELL).
     amg_filter_k: int = 4                # keep k largest P entries/row, lump
     # the rest into the survivors (transfer gathers are the TPU V-cycle
-    # bottleneck; the -pc_gamg_threshold filtering analogue)
+    # bottleneck; the -pc_gamg_threshold filtering analogue).  Scalar
+    # nullspaces only — auto-disabled when the near-nullspace has >1
+    # column (lumping preserves constants, not rotations; elasticity
+    # measured 15 its unfiltered vs 73 at k=4 — la/amg.py)
     amg_fine_window: str = "auto"        # auto | on | off — RCM + block-
     # windowed fine-level SpMV on unstructured meshes (fem.window_op):
     # trades a dense-window value buffer (~350x the CSR bytes) for a

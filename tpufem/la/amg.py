@@ -318,7 +318,16 @@ def smooth_prolongator(A: sp.csr_matrix, P0: sp.csr_matrix,
     element on v5e); the full smoothed P carries ~11 entries/row whose
     tail adds almost nothing — measured iteration counts at 69k dofs:
     k=11: 15, k=6: 15, k=4: 16, k=3: 18.  The PETSc-GAMG analogue knob
-    is -pc_gamg_threshold row filtering."""
+    is -pc_gamg_threshold row filtering.
+
+    SCALAR nullspaces only: row-sum lumping preserves interpolation of
+    the constant vector and nothing else, so for a multi-column
+    near-nullspace (elasticity: 6 rigid modes) top-k filtering destroys
+    rotation interpolation and SA convergence with it — measured on the
+    clamped-cube P1 elasticity operator at 10k dofs: 15 CG+AMG
+    iterations unfiltered vs 73/67/63/54 at k=4/6/8/12.  Callers must
+    pass filter_k=0 when the nullspace has more than one column
+    (SAAMG.setup enforces this)."""
     d = A.diagonal()
     dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
     omega = damping / lmax
@@ -515,6 +524,17 @@ class SAAMG:
         dense_limit = int(options.get("amg_dense_level_limit", 32768))
         filter_k = int(options.get("amg_filter_k", 4))
         agg_levels = int(options.get("amg_aggressive_levels", 1))
+        if near_nullspace is not None and near_nullspace.shape[0] > 1 \
+                and filter_k > 0:
+            # top-k + row-sum lumping preserves constants only; with a
+            # multi-column nullspace (rigid modes) it breaks rotation
+            # interpolation and costs ~4-5x the iterations (see
+            # smooth_prolongator).  The wider unfiltered transfers are
+            # strictly cheaper than the extra V-cycles.
+            logger.info("SA-AMG: prolongator top-k filter disabled "
+                        "(near-nullspace has %d columns)",
+                        near_nullspace.shape[0])
+            filter_k = 0
 
         if near_nullspace is None:
             B = np.ones((n, 1))
