@@ -51,7 +51,7 @@ def main() -> None:
 
     for order in (int(o) for o in args.orders.split(",")):
         nx, ny, nz, _ = compute_box_size_structured(args.ndofs, True,
-                                                    1, 1, 1, order=order)
+                                                    1, order, 1)
         mesh = BoxTetMesh(nx, ny, nz)
         space = FunctionSpace(mesh, order)
         facets = mesh.locate_boundary_facets(common.poisson_bc_marker)

@@ -225,10 +225,29 @@ def solve(cfg: Config) -> Tuple[int, float]:
           f"{num_dofs // num_shards}")
     print(line, flush=True)
 
-    with Timer("ZZZ Solve"):
+    # -log_view analogue (every recommended reference config runs
+    # PETSc's -log_view, README.md:71): the ZZZ table below is the
+    # always-on stage summary; this flag additionally captures a
+    # jax.profiler device/host trace of the solve for op-level
+    # inspection (tensorboard / xprof reads the directory)
+    log_view = cfg.solver.extra.get("log_view")
+    cfg.solver._consumed.add("log_view")
+    import contextlib as _ctx
+    trace_dir = None
+    if log_view:
+        trace_dir = (log_view if isinstance(log_view, str)
+                     else (cfg.output or ".") + "/tpufem-trace")
+        trace_cm = jax.profiler.trace(trace_dir)
+    else:
+        trace_cm = _ctx.nullcontext()
+
+    with Timer("ZZZ Solve"), trace_cm:
         x, num_iter = prob.solver_function(prob.u, prob.b)
         import jax as _jax
         _jax.block_until_ready(x)
+    if trace_dir is not None:
+        print(f"-log_view: profiler trace written to {trace_dir}",
+              flush=True)
 
     if cfg.output:
         import os

@@ -37,6 +37,17 @@ The CG loop runs channel-resident (``to_strips`` once per solve,
 sublanes are EXACTLY zero in every strip, so the operator output
 stays clean-padded and dofwise dot products equal buffer dot
 products throughout the Krylov iteration.
+
+STATUS — measured on v5e at ~510-517k dofs: barriered 100-apply
+chains give P3 418 vs 876 us/apply and P2 297 vs 411 over the DIA
+form; in the production CG loop (python -m tpufem --problem_type
+cgpoisson) P3 runs 0.86 vs 0.62 Gdof/s (the strip form is the P3
+default) while P2 ties (2.88 vs 2.98 — the P2 grids are ~42 lanes
+wide, so there is little lane waste to reclaim and DIA stays the P2
+default).  The ~180 us gap between the P3 apply and its in-loop
+iteration cost is canvas-size CG vector work plus the output
+pad/stack passes — the staging points for a VMEM-resident fused
+kernel.
 """
 
 from __future__ import annotations

@@ -167,6 +167,23 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
                     "(non-unit shifts, tiny grid, or bs > 1)")
         if "use_flat" in cfg.solver.extra:
             cfg.solver._consumed.add("use_flat")
+        if (order >= 2 and baked and isinstance(op, DiaOperator)
+                and op.is_const()
+                and int(cfg.solver.extra.get("use_strip",
+                                             1 if order >= 3 else 0))):
+            # channel-strip layout (fem/strip_op.py): the DIA zone apply
+            # at full 128-lane vregs instead of the typed grids' ~27-wide
+            # minor axis.  Production CLI at ~510-517k dofs on v5e:
+            # P3 0.86 vs 0.62 Gdof/s (default ON for order 3),
+            # P2 2.88 vs 2.98 Gdof/s (the P2 grids are ~42 lanes wide —
+            # less lane waste to reclaim — so DIA stays the P2 default;
+            # -use_strip 1/0 overrides either way).
+            from tpufem.fem.strip_op import StripOperator
+            sop = StripOperator.from_dia(op, dtype=dtype)
+            if sop is not None:
+                op = sop
+        if "use_strip" in cfg.solver.extra:
+            cfg.solver._consumed.add("use_strip")
         if order == 1 and cfg.solver.extra.get("use_pallas"):
             # fused single-pass stencil kernel (opt-in; the default
             # XLA table apply fuses to the same single pass and
@@ -212,7 +229,18 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         # values already lifted into b): no operator application
         # outside the while_loop at all
         from tpufem.fem.flat_op import FlatOperator
-        if isinstance(op_, FlatOperator):
+        from tpufem.fem.strip_op import StripOperator
+        if isinstance(op_, StripOperator):
+            # channel-resident loop: strip<->dof relayout pays once per
+            # solve; pad/guard lanes stay exactly zero through the
+            # iteration so buffer dots equal dof dots (tested)
+            def run_st(o, x, r):
+                r_f = o.to_strips(r)
+                x_f, it, rel = cg_solve_fused(o.apply_strips, r_f, x0=None,
+                                              rtol=rtol, maxit=kmax)
+                return o.from_strips(x_f, dtype=r.dtype), it, rel
+            cache["run"] = compile_aot(run_st, op_, x0, rhs_)
+        elif isinstance(op_, FlatOperator):
             # channel-resident loop: flat<->channel relayout pays once
             # per solve; dots over the zero-padded plane buffer equal
             # dofwise dots (padding/guard lanes stay exactly zero)
