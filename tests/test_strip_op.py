@@ -100,3 +100,28 @@ def test_strip_cg_end_to_end():
     r = b_np - dia.apply_np(x_s)
     assert np.linalg.norm(r) / np.linalg.norm(b_np) < 1e-7
     np.testing.assert_allclose(x_s, np.asarray(x_d), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("order,dims", [(2, (8, 9, 10)), (3, (8, 8, 9))])
+def test_strip_pallas_matches_xla(order, dims):
+    """The VMEM-resident Pallas kernel (interpret mode on CPU) computes
+    the same apply as the XLA twin, hence the same matrix."""
+    mesh = BoxTetMesh(*dims)
+    space, bc = _bc_dofs(mesh, order)
+    dia = DiaOperator.try_const(mesh, order, "poisson",
+                                bc_dofs=bc.flat_dofs(), dtype=jnp.float64,
+                                device=False)
+    xla_op = StripOperator.from_dia(dia, dtype=jnp.float64,
+                                    use_pallas=False)
+    pal_op = StripOperator.from_dia(dia, dtype=jnp.float64,
+                                    use_pallas=True)
+    assert pal_op.use_pallas and not xla_op.use_pallas
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal(space.ndofs))
+    xf = xla_op.to_strips(u)
+    y_x = np.asarray(xla_op.apply_strips(xf))
+    y_p = np.asarray(pal_op.apply_strips(xf))
+    np.testing.assert_allclose(y_p, y_x, rtol=1e-13, atol=1e-13)
+    y_ref = dia.apply_np(np.asarray(u))
+    np.testing.assert_allclose(np.asarray(pal_op.from_strips(jnp.asarray(y_p))),
+                               y_ref, rtol=1e-13, atol=1e-13)

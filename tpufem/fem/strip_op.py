@@ -38,16 +38,28 @@ sublanes are EXACTLY zero in every strip, so the operator output
 stays clean-padded and dofwise dot products equal buffer dot
 products throughout the Krylov iteration.
 
-STATUS — measured on v5e at ~510-517k dofs: barriered 100-apply
-chains give P3 418 vs 876 us/apply and P2 297 vs 411 over the DIA
-form; in the production CG loop (python -m tpufem --problem_type
-cgpoisson) P3 runs 0.86 vs 0.62 Gdof/s (the strip form is the P3
-default) while P2 ties (2.88 vs 2.98 — the P2 grids are ~42 lanes
-wide, so there is little lane waste to reclaim and DIA stays the P2
-default).  The ~180 us gap between the P3 apply and its in-loop
-iteration cost is canvas-size CG vector work plus the output
-pad/stack passes — the staging points for a VMEM-resident fused
-kernel.
+On TPU the apply runs as ONE Pallas invocation with x, y and the
+weight packs VMEM-resident (``_apply_pallas``): the XLA twin re-reads
+each shifted source slice from HBM (~49 slices per output channel,
+~123 MB per P3 apply at 517k dofs), while the kernel pays one read of
+x + the packs and one write of y (~14 MB) and is VPU compute-bound.
+The z-boundary rows are repaired by sparse precomputed delta rows
+(lo/hi minus mid; 732 of 7866 rows deviate for P3), so the kernel is
+the exact matrix.  Beyond the ~14 MB VMEM budget (P3 above ~900k
+dofs) the apply falls back to the XLA twin.
+
+STATUS — production CG loop (python -m tpufem --problem_type
+cgpoisson) at ~510-517k dofs on v5e, 100 iterations:
+
+  | form                    | P2 Gdof/s | P3 Gdof/s |
+  |-------------------------|-----------|-----------|
+  | const-DIA (fem/dia_op)  | 2.98      | 0.62      |
+  | strip, XLA twin         | 2.88      | 0.86      |
+  | strip, Pallas kernel    | 7.16      | 4.66      |
+
+(The DIA form's typed grids are ~27 lanes wide at P3, ~42 at P2, so
+its VPU passes waste 4-5x the 128-lane vregs; the strip layout fixes
+the lanes and the kernel removes the HBM re-read amplification.)
 """
 
 from __future__ import annotations
@@ -77,16 +89,20 @@ class StripOperator:
     strips: Tuple[jnp.ndarray, ...]  # per term: [Zk, TILE] full or
     #                                  lo [3, TILE] / mid [1, TILE] /
     #                                  hi [3, TILE] (see plan)
+    mid_pack: jnp.ndarray            # [NT, TILE] zone-term mid strips
+    dlt_pack: jnp.ndarray            # [ND, TILE] deviating boundary-row
+    #                                  deltas (lo/hi row minus mid)
     plan: Tuple                      # static per-term metadata
     meta: Tuple                      # static geometry bundle
 
     def tree_flatten(self):
-        return (self.strips,), (self.plan, self.meta)
+        return (self.strips, self.mid_pack, self.dlt_pack), (self.plan,
+                                                             self.meta)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         plan, meta = aux
-        return cls(children[0], plan, meta)
+        return cls(children[0], children[1], children[2], plan, meta)
 
     # geometry accessors -----------------------------------------------------
     @property
@@ -110,10 +126,22 @@ class StripOperator:
         """Flat BC mask of the underlying matrix (multigrid filtering)."""
         return self.meta[4]
 
+    @property
+    def kplan(self):
+        """Static per-output-channel kernel plan, or None:
+        (mid entries (mi, ci, dz, off), delta entries
+        (di, row, ci, dz, off)) per channel."""
+        return self.meta[5]
+
+    @property
+    def use_pallas(self) -> bool:
+        return self.meta[6]
+
     # -- construction ---------------------------------------------------------
     @classmethod
-    def from_dia(cls, dia: DiaOperator,
-                 dtype=jnp.float32) -> Optional["StripOperator"]:
+    def from_dia(cls, dia: DiaOperator, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None
+                 ) -> Optional["StripOperator"]:
         """Build from a const-mode scalar DiaOperator, or None when the
         structure does not fit (bs > 1, non-const, or in-plane shifts
         beyond the lane guard)."""
@@ -143,6 +171,11 @@ class StripOperator:
 
         plan: List[Tuple] = []
         strips: List[np.ndarray] = []
+        mids: List[np.ndarray] = []
+        dlts: List[np.ndarray] = []
+        kmid = [[] for _ in range(C)]   # per co: (mi, ci, dz, off)
+        kdlt = [[] for _ in range(C)]   # per co: (di, row, ci, dz, off)
+        any_full = False
         for term_meta, T in dia.terms():
             (ko, so, ki, si, d, (z0, z1, y0, y1, x0, x1), _c) = term_meta
             co = chan_of[(ko, so)]
@@ -173,17 +206,55 @@ class StripOperator:
                 if not (mid == mid[:1]).all():
                     return None
                 plan.append((co, ci, d[2], off, Zk, "zones"))
-                strips.append(embed(F[:_M]))
-                strips.append(embed(F[_M: _M + 1]))
-                strips.append(embed(F[Zk - _M:]))
+                lo_s = embed(F[:_M])
+                mid_s = embed(F[_M: _M + 1])
+                hi_s = embed(F[Zk - _M:])
+                strips.append(lo_s)
+                strips.append(mid_s)
+                strips.append(hi_s)
+                # kernel form: mid applied over the FULL z range plus
+                # sparse per-row deltas where lo/hi rows deviate
+                kmid[co].append((len(mids), ci, d[2], off))
+                mids.append(mid_s[0])
+                for r in range(_M):
+                    if not np.array_equal(lo_s[r], mid_s[0]):
+                        kdlt[co].append((len(dlts), r, ci, d[2], off))
+                        dlts.append(lo_s[r] - mid_s[0])
+                    if not np.array_equal(hi_s[r], mid_s[0]):
+                        kdlt[co].append((len(dlts), Zk - _M + r, ci,
+                                         d[2], off))
+                        dlts.append(hi_s[r] - mid_s[0])
             else:
                 plan.append((co, ci, d[2], off, Zk, "full"))
                 strips.append(embed(F))
+                any_full = True
 
         bc_np = np.asarray(dia.bc_mask)
+        if any_full:
+            kplan = None
+            mid_pack = jnp.zeros((1, TILE), dtype=npdt)
+            dlt_pack = jnp.zeros((1, TILE), dtype=npdt)
+        else:
+            kplan = tuple((tuple(kmid[c]), tuple(kdlt[c]))
+                          for c in range(C))
+            mid_pack = jnp.asarray(np.stack(mids))
+            dlt_pack = jnp.asarray(np.stack(dlts) if dlts
+                                   else np.zeros((1, TILE), dtype=npdt))
+        # the fused kernel keeps x, y, mid and delta packs VMEM-resident
+        # (one pallas invocation, no grid): gate on the ~16 MB/core
+        # budget and fall back to the XLA apply beyond it
+        itemsize = np.dtype(npdt).itemsize
+        vmem = (2 * C * Zp * LW + (len(mids) + max(len(dlts), 1)) * TILE
+                ) * itemsize
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and vmem <= 14 * 2**20)
+        use_pallas = bool(use_pallas) and kplan is not None
         meta = (lay, tuple(channels), tuple(kdims),
-                (C, Zc, Yp, Xp, PF, TILE, LW, Zp), bc_np)
+                (C, Zc, Yp, Xp, PF, TILE, LW, Zp), bc_np, kplan,
+                bool(use_pallas))
         return cls(strips=tuple(jnp.asarray(s) for s in strips),
+                   mid_pack=mid_pack, dlt_pack=dlt_pack,
                    plan=tuple(plan), meta=meta)
 
     # -- layout conversion ------------------------------------------------------
@@ -219,7 +290,73 @@ class StripOperator:
 
     # -- apply ------------------------------------------------------------------
     def apply_strips(self, x: jnp.ndarray) -> jnp.ndarray:
-        """[C, Zp, LW] -> [C, Zp, LW]: the fused-slice zone apply.
+        """[C, Zp, LW] -> [C, Zp, LW]: fused-slice zone apply (the
+        VMEM-resident Pallas kernel on TPU when the buffers fit; the
+        XLA twin otherwise / on CPU)."""
+        if self.use_pallas:
+            return self._apply_pallas(x)
+        return self._apply_xla(x)
+
+    def _apply_pallas(self, x: jnp.ndarray) -> jnp.ndarray:
+        """One Pallas invocation, everything VMEM-resident.
+
+        The XLA twin re-reads each shifted source slice from HBM (~49
+        slices per output channel: ~123 MB per P3 apply at 517k dofs,
+        measured 418 us); here x, y and the weight packs live in VMEM
+        for the whole apply, so HBM traffic drops to one read of x +
+        the packs and one write of y (~14 MB) and the apply is VPU
+        compute-bound.  Exactness: per channel the mid strip multiplies
+        the FULL z range and the sparse ``dlt_pack`` rows (lo/hi minus
+        mid, precomputed on host — 732 of 7866 boundary rows deviate
+        for P3) repair every z-boundary row — the same matrix, not an
+        approximation (pinned in tests against the XLA twin and
+        DiaOperator.apply_np)."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        C, Zc, Yp, Xp, PF, TILE, LW, Zp = self.dims
+        kplan = self.kplan
+        kdims = self.kdims
+        channels = self.channels
+        G = _GUARD
+
+        def kernel(x_ref, mid_ref, dlt_ref, y_ref):
+            for co in range(C):
+                Zk = kdims[channels[co][0]][0]
+                kmid, kdlt = kplan[co]
+                acc = jnp.zeros((Zk, TILE), dtype=x_ref.dtype)
+                for (mi, ci, dz, off) in kmid:
+                    src = x_ref[ci, 1 + dz: 1 + dz + Zk,
+                                G + off: G + off + TILE]
+                    acc = acc + mid_ref[mi: mi + 1, :] * src
+                y_ref[co, 0:1, :] = jnp.zeros((1, LW), dtype=x_ref.dtype)
+                y_ref[co, 1 + Zk:, :] = jnp.zeros((Zp - 1 - Zk, LW),
+                                                  dtype=x_ref.dtype)
+                y_ref[co, 1:1 + Zk, 0:G] = jnp.zeros((Zk, G),
+                                                     dtype=x_ref.dtype)
+                y_ref[co, 1:1 + Zk, G + TILE:] = jnp.zeros(
+                    (Zk, LW - G - TILE), dtype=x_ref.dtype)
+                y_ref[co, 1:1 + Zk, G:G + TILE] = acc
+                # sparse z-boundary repairs: read-modify-write on single
+                # output rows (static slices; dynamic_update_slice on
+                # values has no Mosaic lowering)
+                for (di, row, ci, dz, off) in kdlt:
+                    src = x_ref[ci, 1 + row + dz: 2 + row + dz,
+                                G + off: G + off + TILE]
+                    y_ref[co, 1 + row: 2 + row, G:G + TILE] = (
+                        y_ref[co, 1 + row: 2 + row, G:G + TILE]
+                        + dlt_ref[di: di + 1, :] * src)
+
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, Zp, LW), x.dtype),
+            interpret=jax.default_backend() != "tpu",
+        )(x, self.mid_pack, self.dlt_pack)
+
+    def _apply_xla(self, x: jnp.ndarray) -> jnp.ndarray:
+        """XLA twin of the apply (CPU golden path / VMEM-overflow
+        fallback).
 
         Structure mirrors DiaOperator._apply_zones — per output channel
         the z-lo / z-mid / z-hi zone accumulators collect every term's

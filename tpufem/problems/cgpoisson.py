@@ -169,15 +169,14 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
             cfg.solver._consumed.add("use_flat")
         if (order >= 2 and baked and isinstance(op, DiaOperator)
                 and op.is_const()
-                and int(cfg.solver.extra.get("use_strip",
-                                             1 if order >= 3 else 0))):
-            # channel-strip layout (fem/strip_op.py): the DIA zone apply
-            # at full 128-lane vregs instead of the typed grids' ~27-wide
-            # minor axis.  Production CLI at ~510-517k dofs on v5e:
-            # P3 0.86 vs 0.62 Gdof/s (default ON for order 3),
-            # P2 2.88 vs 2.98 Gdof/s (the P2 grids are ~42 lanes wide —
-            # less lane waste to reclaim — so DIA stays the P2 default;
-            # -use_strip 1/0 overrides either way).
+                and int(cfg.solver.extra.get("use_strip", 1))):
+            # DEFAULT for P2/P3 (-use_strip 0 restores the DIA form):
+            # channel-strip layout (fem/strip_op.py) — the DIA zone
+            # apply on full 128-lane vregs, with a VMEM-resident Pallas
+            # kernel on TPU when the buffers fit.  Production CLI at
+            # ~510-517k dofs on v5e: P3 4.66 vs 0.62 Gdof/s, P2 7.16
+            # vs 2.98 (XLA-twin strip without the kernel: P3 0.86,
+            # P2 2.88).
             from tpufem.fem.strip_op import StripOperator
             sop = StripOperator.from_dia(op, dtype=dtype)
             if sop is not None:
