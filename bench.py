@@ -496,6 +496,12 @@ def main() -> None:
                           dtype="float32",
                           solver=SolverOptions(ksp_rtol=RTOL,
                                                ksp_max_it=30))
+            # warm the malloc pool like the CLI does (tpufem.hostmem):
+            # the deployment VM first-touches fresh pages at 16-80 MB/s
+            # and the refinement cascade allocates ~1 GB of transients
+            from tpufem.hostmem import prefault
+            prefault(min(2 << 30, max(256 << 20, 2048 * nd_spoke)),
+                     background=False)
             t0 = time.perf_counter()
             mesh6 = create_spoke_mesh(nd_spoke, True, 1, 1, verbose=False)
             mesh6_s = time.perf_counter() - t0

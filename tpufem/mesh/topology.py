@@ -31,11 +31,13 @@ class TetTopology:
         if self._cells.ndim != 2 or self._cells.shape[1] != 4:
             raise ValueError("cells must be [nc, 4]")
         self._orient_cells()
-        self._build_edges()
-        # faces are built LAZILY: the refinement cascade constructs a
-        # topology per round and only ever touches edges — face/facet
-        # data is needed only on the final mesh (BCs, surface terms).
-        # Building them eagerly cost ~40% of the spoke mesh wall.
+        # edges AND faces are built LAZILY: P1 assembly touches neither
+        # (vertices + faces-for-BCs only, and faces only on the final
+        # mesh), the refinement cascade needs edges only on the mesh it
+        # marks, and a derived entity table for 2.6M cells costs ~6.6 s
+        # of native radix work + page faults on the 1-vCPU deployment
+        # host.  Eager edges alone were ~25% of the spoke-500k wall.
+        self._edges_built = False
         self._faces_built = False
 
     # -- construction --------------------------------------------------------
@@ -69,6 +71,11 @@ class TetTopology:
         if not self._faces_built:
             self._build_faces()
             self._faces_built = True
+
+    def _ensure_edges(self) -> None:
+        if not self._edges_built:
+            self._build_edges()
+            self._edges_built = True
 
     def _build_edges(self) -> None:
         from tpufem.native import tet_edges
@@ -134,6 +141,7 @@ class TetTopology:
 
     @property
     def num_edges_global(self) -> int:
+        self._ensure_edges()
         return self._edge_verts.shape[0]
 
     @property
@@ -159,6 +167,7 @@ class TetTopology:
         return self.vertices[self._cells]
 
     def cell_edges(self) -> Tuple[np.ndarray, np.ndarray]:
+        self._ensure_edges()
         return self._cell_edges, self._cell_edge_flipped
 
     def cell_faces(self) -> np.ndarray:
@@ -170,11 +179,13 @@ class TetTopology:
         return self._face_verts[np.asarray(gids, dtype=np.int64)]
 
     def edge_vertices(self, gids: np.ndarray) -> np.ndarray:
+        self._ensure_edges()
         return self._edge_verts[np.asarray(gids, dtype=np.int64)]
 
     def face_edges(self, gids: np.ndarray) -> np.ndarray:
         """[n, 3] edge gids of faces (pairs (0,1), (0,2), (1,2) of the
         sorted face-vertex triple)."""
+        self._ensure_edges()
         fv = self.face_vertices(gids)
         nv = self.vertices.shape[0]
         keys = np.stack([

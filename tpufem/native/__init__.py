@@ -185,8 +185,13 @@ def refine_marked_edges(verts: np.ndarray, cells: np.ndarray,
     v = np.ascontiguousarray(verts, dtype=np.float64)
     c = np.ascontiguousarray(cells, dtype=np.int64)
     m = np.ascontiguousarray(marked, dtype=np.int64)
-    cap_v = v.shape[0] + 8 * max(m.shape[0], 1) + 64
-    cap_c = 4 * c.shape[0] + 16 * max(m.shape[0], 1) + 64
+    # capacity heuristics sized to observed closure growth (the spoke
+    # 500k shape: 423k marks on 365k cells -> 2.59M cells, 491k verts);
+    # a miss is cheap — the C++ reports exact sizes and the loop
+    # retries.  The previous 4*nc + 16*nm heuristic first-touched
+    # ~340 MB of empty pages per call on this 16-80 MB/s-fault host.
+    cap_v = v.shape[0] + 4 * max(m.shape[0], 1) + 64
+    cap_c = c.shape[0] + 8 * max(m.shape[0], 1) + 64
     for _ in range(8):
         out_v = np.empty((cap_v, 3), dtype=np.float64)
         out_c = np.empty((cap_c, 4), dtype=np.int64)
@@ -205,9 +210,12 @@ def refine_marked_edges(verts: np.ndarray, cells: np.ndarray,
             ctypes.c_int64(cap_c),
             ctypes.byref(nv_out), ctypes.byref(nc_out))
         if rc == 0:
-            return (out_v[:nv_out.value].copy(), out_c[:nc_out.value].copy())
-        cap_v = max(cap_v * 2, nv_out.value)
-        cap_c = max(cap_c * 2, nc_out.value)
+            # views, not copies: the caps above are tight enough that
+            # the slack is small, and the copies cost ~1.3 s/call at
+            # 2.6M cells on the deployment host's page-fault wall
+            return (out_v[:nv_out.value], out_c[:nc_out.value])
+        cap_v = max(cap_v + cap_v // 4, nv_out.value)
+        cap_c = max(cap_c + cap_c // 4, nc_out.value)
     return None  # pragma: no cover - capacity loop exhausted
 
 

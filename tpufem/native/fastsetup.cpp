@@ -440,9 +440,15 @@ extern "C" int64_t refine_marked_edges_c(
     int64_t* out_nv, int64_t* out_nc) {
   const double t_all = prof::now();
   std::vector<double> vx(verts, verts + 3 * nv);
-  // append-only cell store + alive flag + logical order
+  vx.reserve(3 * (static_cast<size_t>(nv) + 2 * nm + 64));
+  // append-only cell store + alive flag + logical order (reserved to
+  // the closure-growth ballpark: doubling reallocs copied ~100 MB of
+  // cell data per full-size round before)
+  const size_t cap_cells = static_cast<size_t>(nc) + 8 * nm + 64;
   std::vector<int64_t> cl(cells, cells + 4 * nc);
+  cl.reserve(4 * cap_cells);
   std::vector<uint8_t> alive(static_cast<size_t>(nc), 1);
+  alive.reserve(cap_cells);
   std::vector<int64_t> order(static_cast<size_t>(nc));
   for (int64_t i = 0; i < nc; ++i) order[i] = i;
 
@@ -465,28 +471,21 @@ extern "C" int64_t refine_marked_edges_c(
     base_sorted[i] = base_keys[base_order[i]];
 
   prof::mark("refine: base sort", t_all);
-  // child-edge incidence: flat-table head map + (cell, next) chain
-  // entries (no per-edge vector allocations)
-  U64Map ehead(static_cast<size_t>(nm) * 8 + 64);
-  std::vector<std::pair<int64_t, int64_t>> echain;  // (cell, next idx)
-  echain.reserve(static_cast<size_t>(nm) * 16 + 64);
-  auto add_cell_edges = [&](int64_t c) {
-    const int64_t* t = &cl[4 * c];
-    for (int e = 0; e < 6; ++e) {
-      const uint64_t k = ekey(t[LE[e][0]], t[LE[e][1]]);
-      const int64_t head = ehead.get(k, -1);
-      echain.emplace_back(c, head);
-      ehead.put(k, static_cast<int64_t>(echain.size()) - 1);
-    }
-  };
+  // No child-edge incidence is maintained: marked keys are fixed after
+  // closure, children inherit marked parent edges directly, and a
+  // survivor (cell not bisected in a pass) by construction carries no
+  // marked edge — so the next pass's needy set is exactly the CHILDREN
+  // whose own six keys intersect S, discoverable by direct probes at
+  // child-creation time.  The previous (cell, next) hash-chain
+  // incidence cost ~2.4 s of rehash cascades per full-size round
+  // (2.2M children x 6 puts at 365k cells, marking fraction 0.89).
 
-  // invoke fn(cell_id) for every cell (initial or child) containing k
+  // invoke fn(cell_id) for every INITIAL cell containing k (closure
+  // phase + pass-0 needy seeding; children never consult this)
   auto for_cells_with = [&](uint64_t k, auto&& fn) {
     auto lo = std::lower_bound(base_sorted.begin(), base_sorted.end(), k);
     for (; lo != base_sorted.end() && *lo == k; ++lo)
       fn(base_order[lo - base_sorted.begin()] / 6);
-    for (int64_t i = ehead.get(k, -1); i >= 0; i = echain[i].second)
-      fn(echain[i].first);
   };
 
   U64Set S(static_cast<size_t>(nm) * 4 + 64);
@@ -570,14 +569,12 @@ extern "C" int64_t refine_marked_edges_c(
   }
 
   prof::mark("refine: closure BFS", t_all);
-  // phase 2: subdivision rounds.  Seed frontier per round: initially
-  // the closed set; after a bisection round only CHILDREN can still
-  // contain marked edges (every cell containing one was bisected), so
-  // the seed shrinks to (children edges ∩ S).
-  std::vector<uint64_t> seed;
-  seed.reserve(S.n);
-  for (uint64_t v : S.tab)
-    if (v) seed.push_back(v);
+  // phase 2: subdivision rounds.  Pass 0's needy set comes from the
+  // closed set via the base incidence; afterwards only CHILDREN can
+  // still contain marked edges (every cell containing one was
+  // bisected), and each child self-reports at creation time by probing
+  // its six keys against S — no incidence maintenance.
+  std::vector<int64_t> needy_next;  // children carrying marked keys
   std::vector<uint8_t> needy;  // indexed by cell id (grows)
   // GLOBAL midpoint memo: neighbors may bisect the same edge in
   // different rounds; both must connect to ONE midpoint vertex (a
@@ -586,13 +583,15 @@ extern "C" int64_t refine_marked_edges_c(
   U64Map mid_of(static_cast<size_t>(nm) * 4 + 64);
   for (int64_t pass = 0; pass < max_passes; ++pass) {
     needy.assign(cl.size() / 4, 0);
-    std::vector<int64_t> needy_ids;
-    for (uint64_t k : seed) {
-      for_cells_with(k, [&](int64_t c) {
-        if (!alive[c] || needy[c]) return;
-        needy[c] = 1;
-        needy_ids.push_back(c);
-      });
+    if (pass == 0) {
+      for (uint64_t k : S.tab) {
+        if (!k) continue;
+        for_cells_with(k, [&](int64_t c) {
+          if (alive[c]) needy[c] = 1;
+        });
+      }
+    } else {
+      for (int64_t c : needy_next) needy[c] = 1;
     }
 
     // bisect in logical order: midpoints numbered in sorted-key order,
@@ -628,6 +627,7 @@ extern "C" int64_t refine_marked_edges_c(
     std::vector<int64_t> ch1_ids, ch2_ids;
     ch1_ids.reserve(bis.size());
     ch2_ids.reserve(bis.size());
+    needy_next.clear();
     for (int pass_child = 0; pass_child < 2; ++pass_child) {
       for (size_t i = 0; i < bis.size(); ++i) {
         const int64_t c = bis[i];
@@ -636,8 +636,14 @@ extern "C" int64_t refine_marked_edges_c(
         for (int j = 0; j < 4; ++j) cl.push_back(cl[4 * c + j]);
         cl[4 * id + (pass_child == 0 ? la_of[i] : lb_of[i])] = mid;
         alive.push_back(1);
-        add_cell_edges(id);
         (pass_child == 0 ? ch1_ids : ch2_ids).push_back(id);
+        const int64_t* t = &cl[4 * id];
+        for (int e = 0; e < 6; ++e) {
+          if (S.contains(ekey(t[LE[e][0]], t[LE[e][1]]))) {
+            needy_next.push_back(id);
+            break;
+          }
+        }
       }
     }
     for (int64_t c : bis) alive[c] = 0;
@@ -646,18 +652,7 @@ extern "C" int64_t refine_marked_edges_c(
     order.insert(order.end(), ch1_ids.begin(), ch1_ids.end());
     order.insert(order.end(), ch2_ids.begin(), ch2_ids.end());
 
-    // next round's seed: split keys still present on the new children
-    seed.clear();
-    U64Set seen(bis.size() * 2 + 64);
-    for (const auto& ids : {ch1_ids, ch2_ids})
-      for (int64_t c : ids) {
-        const int64_t* t = &cl[4 * c];
-        for (int e = 0; e < 6; ++e) {
-          const uint64_t k = ekey(t[LE[e][0]], t[LE[e][1]]);
-          if (S.contains(k) && seen.insert(k)) seed.push_back(k);
-        }
-      }
-    if (seed.empty()) break;
+    if (needy_next.empty()) break;
   }
 
   prof::mark("refine: passes", t_all);
