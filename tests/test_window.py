@@ -111,3 +111,41 @@ def test_windowed_cg_amg_solve():
     x = np.asarray(x_p)[np.asarray(w.iperm)]
     x_ref = sp.linalg.spsolve(M.tocsc(), b)
     assert np.max(np.abs(x - x_ref)) <= 1e-8 * np.abs(x_ref).max()
+
+
+def test_plan_windows_native_matches_numpy(monkeypatch):
+    """The native per-row-block planner (fastsetup plan_windows_c) must
+    reproduce the numpy argsort+unique plan exactly — same W choice,
+    same per-nonzero window coordinates."""
+    from tpufem import native
+    from tpufem.fem import window_op
+
+    if not native.have_native():
+        pytest.skip("native unavailable")
+    M = _laplacian_3d(11, 9, 8)
+    nat = window_op._plan_windows(M.indptr, M.indices, 16, 128, 4)
+    monkeypatch.setattr(native, "plan_windows", lambda *a, **k: None)
+    ref = window_op._plan_windows(M.indptr, M.indices, 16, 128, 4)
+    for got, want in zip(nat, ref):
+        if np.isscalar(want):
+            assert got == want
+        else:
+            assert np.array_equal(got, want)
+
+
+def test_csr_permute_sym_native_matches_scipy(monkeypatch):
+    """Native symmetric CSR permutation (rcm_csr's hot path) must equal
+    scipy's fancy-indexed M[perm][:, perm] bit-for-bit."""
+    from tpufem import native
+    from tpufem.fem import window_op
+
+    if not native.have_native():
+        pytest.skip("native unavailable")
+    M = _laplacian_3d(10, 7, 6)
+    perm_a, csr_a = rcm_csr(M.indptr, M.indices, M.data)
+    monkeypatch.setattr(native, "csr_permute_sym", lambda *a, **k: None)
+    perm_b, csr_b = rcm_csr(M.indptr, M.indices, M.data)
+    assert np.array_equal(perm_a, perm_b)
+    assert np.array_equal(csr_a[0], csr_b[0])
+    assert np.array_equal(csr_a[1], csr_b[1])
+    assert np.array_equal(csr_a[2], csr_b[2])

@@ -38,8 +38,11 @@ class FunctionSpace:
         self.element = ReferenceTet(order, variant)
         k = order
         nv = mesh.num_vertices_global
-        ne = mesh.num_edges_global
-        nf = mesh.num_faces_global
+        # only count the entity kinds that actually carry dofs: deriving
+        # the edge table of a 2.6M-cell unstructured mesh costs ~4 s on
+        # the deployment host and P1 never touches it
+        ne = mesh.num_edges_global if k >= 2 else 0
+        nf = mesh.num_faces_global if k >= 3 else 0
         self._nv, self._ne, self._nf = nv, ne, nf
         self.ndofs_scalar = nv + (k - 1) * ne + (1 if k >= 3 else 0) * nf
         self.ndofs = self.ndofs_scalar * bs

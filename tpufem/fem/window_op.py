@@ -223,27 +223,39 @@ def _plan_windows(indptr: np.ndarray, indices: np.ndarray, R: int, C: int,
     nb = (n + R - 1) // R
     nc = (n + C - 1) // C
     b_of = rows // R
-    cb = cols // C
-    key = b_of * nc + cb
-    order = np.argsort(key, kind="stable")
-    uq, inv_sorted, counts = np.unique(key[order], return_inverse=True,
-                                       return_counts=True)
-    uid = np.empty(key.shape[0], dtype=np.int64)
-    uid[order] = inv_sorted
-    ub = uq // nc
-    block_first = np.searchsorted(ub, np.arange(nb), side="left")
-    w_of_u = np.arange(uq.shape[0]) - block_first[ub]
-    w_of = w_of_u[uid]
 
-    widths = np.searchsorted(ub, np.arange(nb), side="right") - block_first
+    from tpufem import native
+    got = native.plan_windows(indptr, indices, R, C)
+    if got is not None:
+        # native per-row-block planner (one small sort per block, vs the
+        # global argsort + unique below: ~0.15 s at 7M nnz where numpy
+        # pays ~4 s on this 1-vCPU host)
+        w_of, widths, hist = got
+        counts = hist  # hist[w] = nonzeros at rank w
+        ov_of = lambda Wc: int(hist[Wc:].sum())
+    else:
+        cb = cols // C
+        key = b_of * nc + cb
+        order = np.argsort(key, kind="stable")
+        uq, inv_sorted, counts_u = np.unique(key[order], return_inverse=True,
+                                             return_counts=True)
+        uid = np.empty(key.shape[0], dtype=np.int64)
+        uid[order] = inv_sorted
+        ub = uq // nc
+        block_first = np.searchsorted(ub, np.arange(nb), side="left")
+        w_of_u = np.arange(uq.shape[0]) - block_first[ub]
+        w_of = w_of_u[uid]
+        widths = np.searchsorted(ub, np.arange(nb), side="right") - block_first
+        ov_of = lambda Wc: int(counts_u[w_of_u >= Wc].sum())
+
     wmax = int(widths.max()) if nb else 1
     if w_cap is not None:
         W = max(1, min(int(w_cap), wmax))
     else:
-        cands = np.unique(widths[widths > 0])
+        cands = np.unique(widths[widths > 0]).astype(np.int64)
         if cands.size == 0:
             cands = np.array([1])
-        ov_nnz = np.array([counts[w_of_u >= Wc].sum() for Wc in cands])
+        ov_nnz = np.array([ov_of(int(Wc)) for Wc in cands])
         cost = (nb * R * cands * C * itemsize / _STREAM_BYTES_PER_S
                 + nb * cands * _GATHER_ROW_S
                 + ov_nnz * _OVERFLOW_ELEM_S)
@@ -266,6 +278,10 @@ def rcm_csr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray
     M = sp.csr_matrix((data, indices, indptr), shape=(n, n))
     perm = np.asarray(reverse_cuthill_mckee(M, symmetric_mode=True),
                       dtype=np.int64)
+    from tpufem import native
+    got = native.csr_permute_sym(indptr, indices, data, perm)
+    if got is not None:
+        return perm, got
     Mp = M[perm][:, perm].tocsr()
     Mp.sort_indices()
     return perm, (Mp.indptr, Mp.indices, Mp.data)

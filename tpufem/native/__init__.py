@@ -93,6 +93,19 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double)]
         lib.csr_fill_ell.restype = ctypes.c_int64
+        lib.plan_windows_c.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        lib.plan_windows_c.restype = ctypes.c_int64
+        lib.csr_permute_sym.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double)]
+        lib.csr_permute_sym.restype = None
         return lib
     except Exception as e:  # pragma: no cover - toolchain-dependent
         logger.warning("native fastsetup unavailable (%s); numpy fallback", e)
@@ -342,6 +355,66 @@ def csr_fill_ell(indptr: np.ndarray, indices: np.ndarray,
         ovc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ovv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return cols, vals, ovr[:m].copy(), ovc[:m].copy(), ovv[:m].copy()
+
+
+def plan_windows(indptr: np.ndarray, indices: np.ndarray, R: int, C: int):
+    """Per-nonzero window ranks for fem.window_op: (w_of [nnz] int32,
+    widths [nb] int32, hist [wmax+1] int64) where hist[w] counts the
+    nonzeros at rank w, or None when the native library is unavailable.
+    Requires column-sorted CSR rows (assemble + csr_permute_sym both
+    guarantee this)."""
+    lib = _get()
+    if lib is None:
+        return None
+    ip = np.ascontiguousarray(indptr, dtype=np.int64)
+    ix = np.ascontiguousarray(indices, dtype=np.int64)
+    n = ip.shape[0] - 1
+    nb = (n + R - 1) // R
+    nnz = ix.shape[0]
+    w_of = np.empty(nnz, dtype=np.int32)
+    widths = np.empty(max(nb, 1), dtype=np.int32)
+    hist_cap = (n + C - 1) // C + 1  # a row block can touch every column block
+    hist = np.empty(hist_cap, dtype=np.int64)
+    wmax = lib.plan_windows_c(
+        ip.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ix.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n), ctypes.c_int64(R), ctypes.c_int64(C),
+        w_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(hist_cap))
+    if wmax < 0:
+        return None
+    return w_of, widths[:nb], hist[:wmax + 1].copy()
+
+
+def csr_permute_sym(indptr: np.ndarray, indices: np.ndarray,
+                    data: np.ndarray, perm: np.ndarray):
+    """Symmetric CSR permutation M[perm][:, perm] with column-sorted
+    output rows (the scipy fancy-indexing replacement in
+    fem.window_op.rcm_csr): (indptr, indices int64, data float64), or
+    None when the native library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    ip = np.ascontiguousarray(indptr, dtype=np.int64)
+    ix = np.ascontiguousarray(indices, dtype=np.int64)
+    dv = np.ascontiguousarray(data, dtype=np.float64)
+    pm = np.ascontiguousarray(perm, dtype=np.int64)
+    n = ip.shape[0] - 1
+    out_ip = np.empty(n + 1, dtype=np.int64)
+    out_ix = np.empty(ix.shape[0], dtype=np.int64)
+    out_dv = np.empty(dv.shape[0], dtype=np.float64)
+    lib.csr_permute_sym(
+        ip.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ix.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(n),
+        pm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_ip.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_ix.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_dv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out_ip, out_ix, out_dv
 
 
 def coo_to_csr_dedup(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
