@@ -227,70 +227,74 @@ int64_t cells_to_csr_dedup(const int64_t* cd, const double* A,
                            int64_t* indptr, int32_t* out_cols,
                            double* out_vals) {
   const int64_t nnz = ncells * n * n;
-  const uint64_t uN = static_cast<uint64_t>(N);
-  // (key, val) RECORD radix sort: every pass streams the two arrays
-  // sequentially.  The previous argsort-then-gather form read
-  // key[perm[i]] / A[perm[i]] through a 42M-element random permutation
-  // (~8 s at spoke-500k: 2.64M cells x 16 entries); this is ~2.5x
-  // faster on the same input.
-  std::vector<uint64_t> k0(static_cast<size_t>(nnz)),
-      k1(static_cast<size_t>(nnz));
-  std::vector<double> v0(A, A + nnz), v1(static_cast<size_t>(nnz));
-  uint64_t allk = 0;
+  // ROW-ONLY counting sort (12-bit digits) over 16-byte (row, col, val)
+  // records, then per-row std::sort + dedup of ~n*n-entry runs that fit
+  // in L1.  A row key needs only ceil(log2 N) bits where the full
+  // (row*N + col) key of the previous form needed twice that: 2 digit
+  // passes instead of 5 byte passes at spoke-500k -> ~half the memory
+  // traffic, which is what bounds this kernel on the deployment host.
+  struct Rec {
+    int32_t row, col;
+    double val;
+  };
+  std::vector<Rec> r0(static_cast<size_t>(nnz)), r1(static_cast<size_t>(nnz));
   for (int64_t c = 0; c < ncells; ++c) {
     const int64_t* d = &cd[n * c];
-    uint64_t* kc = &k0[n * n * c];
+    const double* a = &A[n * n * c];
+    Rec* rc = &r0[n * n * c];
     for (int64_t i = 0; i < n; ++i) {
-      const uint64_t ri = static_cast<uint64_t>(d[i]) * uN;
+      const int32_t ri = static_cast<int32_t>(d[i]);
       for (int64_t j = 0; j < n; ++j) {
-        const uint64_t k = ri + static_cast<uint64_t>(d[j]);
-        kc[i * n + j] = k;
-        allk |= k;
+        rc[i * n + j].row = ri;
+        rc[i * n + j].col = static_cast<int32_t>(d[j]);
+        rc[i * n + j].val = a[i * n + j];
       }
     }
   }
-  int hi_byte = 0;
-  for (int b = 7; b >= 0; --b)
-    if ((allk >> (8 * b)) & 0xFF) {
-      hi_byte = b;
-      break;
-    }
-  uint64_t* ks = k0.data();
-  uint64_t* kd = k1.data();
-  double* vs = v0.data();
-  double* vd = v1.data();
-  int64_t count[256];
-  for (int b = 0; b <= hi_byte; ++b) {
-    const int sh = 8 * b;
-    std::memset(count, 0, sizeof(count));
-    for (int64_t i = 0; i < nnz; ++i) ++count[(ks[i] >> sh) & 0xFF];
+  constexpr int kDig = 12;
+  constexpr int64_t kBuckets = int64_t(1) << kDig;
+  int row_bits = 1;
+  while ((int64_t(1) << row_bits) < N) ++row_bits;
+  const int npass = (row_bits + kDig - 1) / kDig;
+  std::vector<int64_t> count(kBuckets);
+  Rec* src = r0.data();
+  Rec* dst = r1.data();
+  for (int p = 0; p < npass; ++p) {
+    const int sh = kDig * p;
+    std::fill(count.begin(), count.end(), 0);
+    for (int64_t i = 0; i < nnz; ++i)
+      ++count[(static_cast<uint32_t>(src[i].row) >> sh) & (kBuckets - 1)];
     int64_t pos = 0;
-    for (int v = 0; v < 256; ++v) {
+    for (int64_t v = 0; v < kBuckets; ++v) {
       const int64_t c = count[v];
       count[v] = pos;
       pos += c;
     }
-    for (int64_t i = 0; i < nnz; ++i) {
-      const int64_t p = count[(ks[i] >> sh) & 0xFF]++;
-      kd[p] = ks[i];
-      vd[p] = vs[i];
-    }
-    std::swap(ks, kd);
-    std::swap(vs, vd);
+    for (int64_t i = 0; i < nnz; ++i)
+      dst[count[(static_cast<uint32_t>(src[i].row) >> sh) & (kBuckets - 1)]++] =
+          src[i];
+    std::swap(src, dst);
   }
   for (int64_t r = 0; r <= N; ++r) indptr[r] = 0;
   int64_t out = 0;
   int64_t i = 0;
   while (i < nnz) {
-    const uint64_t k = ks[i];
-    double acc = vs[i];
-    ++i;
-    while (i < nnz && ks[i] == k) acc += vs[i++];
-    if (acc != 0.0) {
-      out_cols[out] = static_cast<int32_t>(k % uN);
-      out_vals[out] = acc;
-      ++indptr[(k / uN) + 1];
-      ++out;
+    const int32_t row = src[i].row;
+    int64_t j = i + 1;
+    while (j < nnz && src[j].row == row) ++j;
+    std::sort(src + i, src + j,
+              [](const Rec& a, const Rec& b) { return a.col < b.col; });
+    while (i < j) {
+      const int32_t col = src[i].col;
+      double acc = src[i].val;
+      ++i;
+      while (i < j && src[i].col == col) acc += src[i++].val;
+      if (acc != 0.0) {
+        out_cols[out] = col;
+        out_vals[out] = acc;
+        ++indptr[row + 1];
+        ++out;
+      }
     }
   }
   for (int64_t r = 0; r < N; ++r) indptr[r + 1] += indptr[r];
