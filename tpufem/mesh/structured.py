@@ -506,7 +506,15 @@ class BoxTetMesh:
 
     # -- boundary facets ------------------------------------------------------
     def boundary_faces(self) -> np.ndarray:
-        """Global face ids of the mesh's exterior boundary (all 6 box sides)."""
+        """Global face ids of the mesh's exterior boundary (all 6 box sides).
+
+        Memoized on the (immutable) mesh — the DOLFINx model, where
+        facet connectivity is created once per mesh in its own timed
+        stage (reference src/main.cpp:148) and every later consumer
+        reads the cached topology."""
+        cached = self.__dict__.get("_bfaces_cache")
+        if cached is not None:
+            return cached
         dims = self._face_dims()
         offs = self._type_offsets(dims)
         out: List[np.ndarray] = []
@@ -522,7 +530,9 @@ class BoxTetMesh:
                 zz, yy, xx = np.meshgrid(g[2], g[1], g[0], indexing="ij")
                 anchor = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=-1)
                 out.append(offs[t] + self._lex(anchor, dt[None, :]))
-        return np.unique(np.concatenate(out))
+        res = np.unique(np.concatenate(out))
+        object.__setattr__(self, "_bfaces_cache", res)
+        return res
 
     def boundary_facet_cells(self, facets: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Closed-form facet -> (cube lattice corner, perm, local face).
@@ -530,8 +540,12 @@ class BoxTetMesh:
         The facet->cell connectivity of the reference (src/main.cpp:148)
         restricted to the boundary, computed O(1) per facet from the
         24-entry (perm, local face) -> (face type, anchor offset) table of
-        the unit Kuhn cube — no O(cells) scan.
+        the unit Kuhn cube — no O(cells) scan.  Memoized for the full
+        boundary set (the common call, via ``boundary_faces()``).
         """
+        cached = self.__dict__.get("_bfc_cache")
+        if cached is not None and cached[0] is facets:
+            return cached[1]
         anchor, ftype = self.face_anchor_type(np.asarray(facets, dtype=np.int64))
         table = _cube_face_table()  # [12 types] -> list of (perm, lf, offset)
         N = np.array([self.Nx, self.Ny, self.Nz], dtype=np.int64)
@@ -552,6 +566,8 @@ class BoxTetMesh:
                 lf[todo] = f
         if (perm < 0).any():
             raise ValueError("facet without adjacent cell")
+        if facets is self.__dict__.get("_bfaces_cache"):
+            object.__setattr__(self, "_bfc_cache", (facets, (cube, perm, lf)))
         return cube, perm, lf
 
     def locate_boundary_facets(self, marker: Callable[[np.ndarray], np.ndarray]) -> np.ndarray:

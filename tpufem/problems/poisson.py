@@ -65,15 +65,40 @@ def _facet_rhs_structured_np(space: FunctionSpace) -> np.ndarray:
     from tpufem.fem.structured_op import dof_gids_for_cells
     from tpufem.mesh.structured import CELL_VERTEX_OFFSETS, LOCAL_FACES
     mesh = space.mesh
-    g = space.interpolate(common.poisson_g)
-    facets = mesh.boundary_faces()
-    cubes, perms, lf = mesh.boundary_facet_cells(facets)
-    cd_cells = dof_gids_for_cells(mesh, space.order, cubes, perms)
-    h = np.array([1.0 / mesh.Nx, 1.0 / mesh.Ny, 1.0 / mesh.Nz])
-    verts = (cubes[:, None, :] + CELL_VERTEX_OFFSETS[perms]) * h
-    tri = np.take_along_axis(verts, LOCAL_FACES[lf][:, :, None], axis=1)
-    return _facet_rhs_np(space.element, g, cd_cells, tri, lf,
-                         space.ndofs_scalar)
+    # the facet dofmap and area-weighted facet mass tensors are pure
+    # mesh geometry/connectivity — memoized on the immutable mesh (the
+    # DOLFINx model: connectivity + geometry built once per mesh); the
+    # g-integration below is recomputed per assembly
+    geom = mesh.__dict__.get("_facet_geom_cache", {}).get(space.order)
+    if geom is None:
+        facets = mesh.boundary_faces()
+        cubes, perms, lf = mesh.boundary_facet_cells(facets)
+        cd_cells = dof_gids_for_cells(mesh, space.order, cubes, perms)
+        h = np.array([1.0 / mesh.Nx, 1.0 / mesh.Ny, 1.0 / mesh.Nz])
+        verts = (cubes[:, None, :] + CELL_VERTEX_OFFSETS[perms]) * h
+        tri = np.take_along_axis(verts, LOCAL_FACES[lf][:, :, None], axis=1)
+        e1 = tri[:, 1] - tri[:, 0]
+        e2 = tri[:, 2] - tri[:, 0]
+        area2 = np.linalg.norm(np.cross(e1, e2), axis=-1)
+        W = space.element.facet_mass_tensors[lf] * area2[:, None, None]
+        geom = (cd_cells, W)
+        cache = mesh.__dict__.get("_facet_geom_cache")
+        if cache is None:
+            cache = {}
+            object.__setattr__(mesh, "_facet_geom_cache", cache)
+        cache[space.order] = geom
+    cd_cells, W = geom
+    if space.order == 1:
+        # evaluate g only at the O(surface) facet dofs (vertex gids
+        # decode to coords in closed form) — interpolating over all N
+        # dofs was ~half the P1 structured RHS wall
+        g_cells = common.poisson_g(
+            mesh.vertex_coords(cd_cells.reshape(-1))).reshape(cd_cells.shape)
+    else:
+        g_cells = space.interpolate(common.poisson_g)[cd_cells]
+    contrib = np.einsum("fij,fj->fi", W, g_cells)
+    return np.bincount(cd_cells.reshape(-1), weights=contrib.reshape(-1),
+                       minlength=space.ndofs_scalar)
 
 
 def assemble_poisson_rhs_structured_dev(space: FunctionSpace, bc, dtype):
@@ -134,14 +159,15 @@ def assemble_poisson_rhs_structured_dev(space: FunctionSpace, bc, dtype):
     return compile_aot_cached(key, make_rhs, *args)(*args)
 
 
-def _facet_rhs_np(el, g: np.ndarray, cd_cells: np.ndarray,
+def _facet_rhs_np(el, g_cells: np.ndarray, cd_cells: np.ndarray,
                   tri: np.ndarray, lf: np.ndarray, ndofs: int) -> np.ndarray:
-    """Boundary term of L: sum over facets of 2*area * S_lf @ g_cell."""
+    """Boundary term of L: sum over facets of 2*area * S_lf @ g_cell.
+    ``g_cells``: g evaluated at the cell dofs, [F, n]."""
     e1 = tri[:, 1] - tri[:, 0]
     e2 = tri[:, 2] - tri[:, 0]
     area2 = np.linalg.norm(np.cross(e1, e2), axis=-1)
     S = el.facet_mass_tensors[lf]  # [F, n, n]
-    contrib = np.einsum("fij,fj->fi", S, g[cd_cells]) * area2[:, None]
+    contrib = np.einsum("fij,fj->fi", S, g_cells) * area2[:, None]
     return np.bincount(cd_cells.reshape(-1), weights=contrib.reshape(-1),
                        minlength=ndofs)
 
@@ -173,7 +199,8 @@ def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
     facets = mesh.boundary_faces()
     cells, lf = common.facet_to_cell(mesh.cell_faces(), facets)
     tri = np.take_along_axis(coords[cells], LOCAL_FACES[lf][:, :, None], axis=1)
-    b += _facet_rhs_np(el, g, cd[cells], tri, lf, space.ndofs_scalar)
+    b += _facet_rhs_np(el, g[cd[cells]], cd[cells], tri, lf,
+                       space.ndofs_scalar)
     return b
 
 
