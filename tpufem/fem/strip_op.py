@@ -413,3 +413,117 @@ class StripOperator:
         use; production CG runs channel-resident via apply_strips)."""
         return self.from_strips(self.apply_strips(self.to_strips(u)),
                                 dtype=u.dtype)
+
+    # -- whole-CG kernel ---------------------------------------------------------
+    def cg_resident_bytes(self) -> int:
+        """VMEM residency of the in-kernel CG: b (in), x (out), p/s/r
+        scratch, plus the weight packs."""
+        C, Zc, Yp, Xp, PF, TILE, LW, Zp = self.dims
+        itemsize = self.mid_pack.dtype.itemsize
+        packs = (self.mid_pack.shape[0] + self.dlt_pack.shape[0]) * TILE
+        return (5 * C * Zp * LW + packs) * itemsize
+
+    @property
+    def cg_kernel_ok(self) -> bool:
+        """True when the WHOLE Chronopoulos-Gear CG loop fits VMEM-
+        resident (kernel plan available and 5 strip buffers + packs
+        within the ~16 MB/core budget)."""
+        return (self.kplan is not None
+                and self.cg_resident_bytes() <= 14 * 2**20)
+
+    def cg_pallas(self, b_strips: jnp.ndarray, rtol: float, maxit: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """The ENTIRE matrix-free CG solve as ONE Pallas invocation with
+        all Krylov state VMEM-resident: (x_strips, iterations, rel).
+
+        The per-iteration HBM traffic of the split form (kernel apply +
+        XLA dots/axpys) is ~5 full state streams; here it is ZERO — b
+        loads once, x stores once, and every iteration runs out of VMEM
+        at VPU speed.  The recurrence is the same Chronopoulos-Gear
+        rotation as ``la.cg.cg_solve_fused`` (identical trajectory in
+        exact arithmetic, same iteration counting and recurrence-
+        residual convergence test, reference src/cg.h:78) with one
+        state-shaving identity: s is updated IN PLACE as
+        s <- beta s + A r, and w.r is recovered from
+        s_new.r = beta (s_old.r) + w.r — saving the w buffer.
+        Convergence is enforced by freezing: once ||r||^2 <= rtol^2
+        ||r0||^2 the effective alpha is zeroed, so x and r stop moving
+        and the iteration counter stops — a masked fori_loop, which
+        lowers cleanly where a data-dependent while_loop may not.
+        """
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        C, Zc, Yp, Xp, PF, TILE, LW, Zp = self.dims
+        kplan = self.kplan
+        kdims = self.kdims
+        channels = self.channels
+        G = _GUARD
+        dt = b_strips.dtype
+        rtol2 = float(rtol) ** 2
+
+        def accum_apply(src_ref, out_ref, scale, mid_ref, dlt_ref):
+            """out <- scale * out + A src (both [C, Zp, LW] VMEM refs);
+            the same mid + sparse-delta plan as _apply_pallas."""
+            for co in range(C):
+                Zk = kdims[channels[co][0]][0]
+                kmid, kdlt = kplan[co]
+                acc = jnp.zeros((Zk, TILE), dtype=dt)
+                for (mi, ci, dz, off) in kmid:
+                    acc = acc + mid_ref[mi: mi + 1, :] * src_ref[
+                        ci, 1 + dz: 1 + dz + Zk, G + off: G + off + TILE]
+                for (di, row, ci, dz, off) in kdlt:
+                    upd = dlt_ref[di: di + 1, :] * src_ref[
+                        ci, 1 + row + dz: 2 + row + dz,
+                        G + off: G + off + TILE]
+                    acc = acc.at[row: row + 1, :].add(upd)
+                out_ref[co, 1:1 + Zk, G:G + TILE] = (
+                    scale * out_ref[co, 1:1 + Zk, G:G + TILE] + acc)
+
+        def kernel(b_ref, mid_ref, dlt_ref, x_ref, it_ref, rr_ref,
+                   p_ref, s_ref, r_ref):
+            zero = jnp.zeros((C, Zp, LW), dtype=dt)
+            x_ref[...] = zero
+            p_ref[...] = zero
+            s_ref[...] = zero
+            r_ref[...] = b_ref[...]
+            rr0 = jnp.sum(r_ref[...] * r_ref[...])
+            one = jnp.ones((), dtype=rr0.dtype)
+
+            def body(k, carry):
+                rr, rr_prev, alpha_prev, cnt = carry
+                live = rr > rtol2 * rr0
+                beta = jnp.where(k == 0, jnp.zeros_like(rr), rr / rr_prev)
+                # s <- beta s + A r;  w.r = s_new.r - beta s_old.r
+                sr_old = jnp.sum(s_ref[...] * r_ref[...])
+                accum_apply(r_ref, s_ref, beta.astype(dt), mid_ref, dlt_ref)
+                wr = jnp.sum(s_ref[...] * r_ref[...]) - beta * sr_old
+                alpha = rr / (wr - beta * rr / alpha_prev)
+                a_eff = jnp.where(live, alpha, jnp.zeros_like(alpha)
+                                  ).astype(dt)
+                p_ref[...] = r_ref[...] + beta.astype(dt) * p_ref[...]
+                x_ref[...] = x_ref[...] + a_eff * p_ref[...]
+                r_ref[...] = r_ref[...] - a_eff * s_ref[...]
+                rr_new = jnp.sum(r_ref[...] * r_ref[...])
+                # frozen once dead: a_eff = 0 keeps x and r fixed, so
+                # rr_new == rr and live stays False for every later k
+                return (jnp.where(live, rr_new, rr), rr, alpha,
+                        cnt + live.astype(jnp.int32))
+
+            rr, _, _, cnt = jax.lax.fori_loop(
+                0, maxit, body, (rr0, one, one, jnp.int32(0)))
+            it_ref[0, 0] = cnt
+            rr_ref[0, 0] = jnp.sqrt(rr / rr0).astype(jnp.float32)
+
+        x, it, rel = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_shape=[jax.ShapeDtypeStruct((C, Zp, LW), dt),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((C, Zp, LW), dt)] * 3,
+            interpret=jax.default_backend() != "tpu",
+        )(b_strips, self.mid_pack, self.dlt_pack)
+        return x, it[0, 0], rel[0, 0]
