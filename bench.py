@@ -199,8 +199,13 @@ def main() -> None:
     # host-page prefault (overlaps the device warm-up below): this VM
     # provisions guest pages lazily at ~16-80 MB/s first touch, so warm
     # the malloc pool for the setup phases off the critical path
-    from tpufem.hostmem import prefault
+    from tpufem.hostmem import prefault, warm_vm
     pf = prefault(2 << 30, background=True)
+    # ... and materialize the rest of the run's guest-physical working
+    # set (the 10M and spoke-500k sections peak ~8-10 GB) in a detached
+    # nice'd subprocess that runs during the minutes of compile waits;
+    # once touched anywhere, pages re-fault at ~1.1-4 GB/s VM-wide
+    warm_vm(12 << 30)
     # device/tunnel warm-up: the first computation pays a large, highly
     # variable session-init cost that must not pollute stage timings
     jax.block_until_ready(jnp.ones(8) + 1.0)

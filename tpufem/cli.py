@@ -118,9 +118,14 @@ def solve(cfg: Config) -> Tuple[int, float]:
     # warm the malloc pool in the background while setup waits on the
     # device/tunnel (this VM first-touches pages at ~16-80 MB/s; see
     # tpufem.hostmem) — sized to the setup-phase working set
-    from tpufem.hostmem import prefault
+    from tpufem.hostmem import prefault, warm_vm
     prefault(min(2 << 30, max(256 << 20, 2048 * cfg.ndofs)),
              background=True)
+    # large runs touch well beyond the pool: materialize the rest of
+    # the guest-physical working set off the critical path (detached
+    # nice'd subprocess; see tpufem.hostmem.warm_vm)
+    if cfg.ndofs >= 1_000_000 or cfg.mesh_type == "unstructured":
+        warm_vm(min(12 << 30, max(4 << 30, 8192 * cfg.ndofs)))
 
     # multi-shard execution: slab-sharded SPMD GMG on the cube path for
     # every order (scalar and elasticity; orders >= 2 add the sharded

@@ -19,6 +19,20 @@ here:
   warm-up (tens of seconds of XLA compile waits), taking the fault cost
   off the critical path.  The buffer is freed immediately — with
   ``tune_allocator`` the pool retains the warmed pages.
+- ``warm_vm(nbytes)``: guest-physical warm-up in a DETACHED nice'd
+  subprocess.  Measured on the deployment VM (2026-08): provisioning a
+  never-touched guest page costs ~60-160 MB/s, but once ANY process has
+  materialized a page it stays in the guest buddy allocator — a fresh
+  mmap in a different process then faults at ~1.1-4 GB/s (kernel
+  zeroing only; there is no free-page reporting returning pages to the
+  host).  THP does not help (madvise'd VMAs never fault huge pages
+  here: AnonHugePages stays 0 with ``hg`` set), and parallel touchers
+  don't either — provisioning is serialized per-vCPU.  So the one
+  useful move is to pay the one-time cost EARLY and OFF the critical
+  path: a subprocess touches pages during the minutes of XLA/tunnel
+  compile waits (where the main process blocks in RPC with the GIL
+  released and the CPU idle), then exits, leaving the pages warm for
+  every later allocation in any process.
 """
 
 from __future__ import annotations
@@ -51,6 +65,45 @@ def tune_allocator() -> bool:
         logger.debug("mallopt tuning unavailable; large numpy "
                      "temporaries will be re-faulted per allocation")
     return ok
+
+
+_WARM_SRC = r"""
+import mmap, os, sys, time
+nbytes = int(sys.argv[1])
+try:
+    os.nice(19)
+except OSError:
+    pass
+chunk = 256 << 20
+done = 0
+t0 = time.monotonic()
+while done < nbytes:
+    sz = min(chunk, nbytes - done)
+    m = mmap.mmap(-1, sz, flags=mmap.MAP_PRIVATE | mmap.MAP_ANONYMOUS)
+    mv = memoryview(m)
+    for off in range(0, sz, 4096):
+        mv[off] = 1
+    mv.release()
+    m.close()  # pages return to the guest allocator, staying warm
+    done += sz
+sys.stderr.write("[warm_vm] %d MiB in %.1fs\n"
+                 % (done >> 20, time.monotonic() - t0))
+"""
+
+
+def warm_vm(nbytes: int = 8 << 30):
+    """Materialize ``nbytes`` of guest-physical pages in a detached
+    nice'd subprocess (see module docstring).  Returns the Popen handle
+    (never joined on the critical path; fine if it outlives us)."""
+    import subprocess
+    import sys
+    try:
+        return subprocess.Popen(
+            [sys.executable, "-c", _WARM_SRC, str(int(nbytes))],
+            stdin=subprocess.DEVNULL, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, start_new_session=True)
+    except Exception:  # pragma: no cover
+        return None
 
 
 def _touch(nbytes: int) -> None:

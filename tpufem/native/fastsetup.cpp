@@ -473,7 +473,108 @@ struct U64Map {  // u64 -> int64 (insert-or-find)
     }
   }
 };
+
+// Shared phase-1 closure: build the initial-mesh edge->cell incidence
+// (one radix argsort; per-key binary search) and propagate the marked
+// set S to its fixed point under "every cell touching a marked edge
+// has its longest edge marked" ((length, key) lexicographic max — a
+// total order neighbors agree on).  On return S holds EXACTLY the set
+// of edges phase 2 will bisect: marked edges persist in some child
+// until chosen (a bisection by a different edge keeps every other
+// parent edge in a child), no new keys are ever marked after closure,
+// and each bisected key gets one globally-memoized midpoint — so the
+// refined mesh has nv + S.n vertices (relied on by
+// refine_closure_count_c; pinned against full refinement by
+// tests/test_refine_spoke.py).
+void build_closure(const double* vx, const int64_t* cl, int64_t nc,
+                   const int64_t* marked, int64_t nm, U64Set& S,
+                   std::vector<uint64_t>& base_sorted,
+                   std::vector<int64_t>& base_order) {
+  std::vector<uint64_t> base_keys(static_cast<size_t>(nc) * 6);
+  for (int64_t c = 0; c < nc; ++c) {
+    const int64_t* t = &cl[4 * c];
+    for (int e = 0; e < 6; ++e)
+      base_keys[6 * c + e] = ekey(t[LE[e][0]], t[LE[e][1]]);
+  }
+  base_order.resize(base_keys.size());
+  radix_argsort_u64(base_keys.data(),
+                    static_cast<int64_t>(base_keys.size()),
+                    base_order.data());
+  base_sorted.resize(base_keys.size());
+  for (size_t i = 0; i < base_keys.size(); ++i)
+    base_sorted[i] = base_keys[base_order[i]];
+
+  auto for_cells_with = [&](uint64_t k, auto&& fn) {
+    auto lo = std::lower_bound(base_sorted.begin(), base_sorted.end(), k);
+    for (; lo != base_sorted.end() && *lo == k; ++lo)
+      fn(base_order[lo - base_sorted.begin()] / 6);
+  };
+
+  S.init(static_cast<size_t>(nm) * 4 + 64);
+  for (int64_t i = 0; i < nm; ++i)
+    S.insert(ekey(marked[2 * i], marked[2 * i + 1]));
+
+  // longest edge of a cell: max length, ties by largest key — matches
+  // the numpy (length, key) lexicographic selection bit-for-bit (same
+  // double arithmetic: sqrt((dx*dx + dy*dy) + dz*dz))
+  auto longest_of = [&](int64_t c, int* la, int* lb) -> uint64_t {
+    const int64_t* t = &cl[4 * c];
+    double best_len = -1.0;
+    uint64_t best_key = 0;
+    int be = 0;
+    for (int e = 0; e < 6; ++e) {
+      const int64_t a = t[LE[e][0]], b = t[LE[e][1]];
+      const double dx = vx[3 * a] - vx[3 * b];
+      const double dy = vx[3 * a + 1] - vx[3 * b + 1];
+      const double dz = vx[3 * a + 2] - vx[3 * b + 2];
+      const double len = std::sqrt((dx * dx + dy * dy) + dz * dz);
+      const uint64_t k = ekey(a, b);
+      if (len > best_len || (len == best_len && k > best_key)) {
+        best_len = len;
+        best_key = k;
+        be = e;
+      }
+    }
+    *la = LE[be][0];
+    *lb = LE[be][1];
+    return best_key;
+  };
+
+  std::vector<uint8_t> seen_cell(static_cast<size_t>(nc), 0);
+  std::vector<uint64_t> frontier;
+  frontier.reserve(S.n);
+  for (uint64_t v : S.tab)
+    if (v) frontier.push_back(v);
+  while (!frontier.empty()) {
+    std::vector<uint64_t> next;
+    for (uint64_t k : frontier) {
+      for_cells_with(k, [&](int64_t c) {
+        if (seen_cell[c]) return;
+        seen_cell[c] = 1;
+        int la, lb;
+        const uint64_t lk = longest_of(c, &la, &lb);
+        if (S.insert(lk)) next.push_back(lk);
+      });
+    }
+    frontier.swap(next);
+  }
+}
 }  // namespace
+
+// Refined vertex count WITHOUT refining: phase-1 closure only (the
+// bisection-search rounds in tpufem.mesh.spoke need just the vertex
+// count, which equals nv + |closure set| — see build_closure).  ~6x
+// cheaper than a full refine_marked_edges_c call at spoke-500k sizes
+// (no child-cell materialization, no output copies).
+extern "C" int64_t refine_closure_count_c(
+    const double* verts, const int64_t* cells, int64_t nc,
+    const int64_t* marked, int64_t nm) {
+  U64Set S;
+  std::vector<uint64_t> base_sorted;
+  std::vector<int64_t> base_order;
+  build_closure(verts, cells, nc, marked, nm, S, base_sorted, base_order);
+  return static_cast<int64_t>(S.n);
+}
 
 extern "C" int64_t refine_marked_edges_c(
     const double* verts, int64_t nv, const int64_t* cells, int64_t nc,

@@ -739,6 +739,6 @@ def _slab_partial_rhs(mesh: BoxTetMesh, problem: str, s: int, S: int,
     coords[:, 2] = (coords[:, 2] * nzl + s * nzl) / Nz
     gdof = common.poisson_g(coords)
     from tpufem.problems.poisson import _facet_rhs_np
-    b += _facet_rhs_np(space.element, gdof, cd_cells[keep], tri[keep],
-                       lf[keep], space.ndofs_scalar)
+    b += _facet_rhs_np(space.element, gdof[cd_cells[keep]], cd_cells[keep],
+                       tri[keep], lf[keep], space.ndofs_scalar)
     return b
