@@ -552,13 +552,56 @@ def main() -> None:
         except Exception:
             pass
 
-    print(json.dumps({
+    record = {
         "metric": "poisson_p1_500k_assemble_solve_dofs_per_s",
         "value": value,
         "unit": "dof/s",
         "vs_baseline": vs,
         "extra": extra,
-    }))
+    }
+    # durable full record (the reference's analogue: the printed summary
+    # + -log_view ARE the run's record, src/main.cpp:226-233).  The
+    # driver keeps only a 2 KB tail of stdout, which truncated the
+    # round-4 one-line JSON (BENCH_r04.json parsed: null) — so the full
+    # record goes to a committed file and the printed line stays small.
+    with open("BENCH.json", "w") as f:
+        json.dump(record, f, indent=1)
+    log("full record written to BENCH.json")
+
+    # compact printed line (< ~1.9 KB): headline + per-section essentials
+    certs = {k: v for k, v in extra.items() if k.endswith("_contract_ok")}
+    trs = [v for k, v in extra.items()
+           if k.endswith("_true_rel") and isinstance(v, float)]
+    compact = {"full_record": "BENCH.json",
+               "contracts_ok": bool(all(certs.values())) if certs else None,
+               "n_contracts": len(certs),
+               "max_true_rel": max(trs) if trs else None}
+    PICK = (
+        "poisson_p1_solve_s", "poisson_p1_iterations",
+        "cgpoisson_p2_gdof_per_s", "cgpoisson_p3_gdof_per_s",
+        "cgpoisson_p1_2m_gdof_per_s", "cgpoisson_p1_10m_gdof_per_s",
+        "poisson_p1_10m_solve_s", "poisson_p1_10m_iterations",
+        "poisson_p1_10m_dofs_per_s",
+        "elasticity_p1_solve_s", "elasticity_p1_iterations",
+        "elasticity_p2_solve_s", "elasticity_p2_iterations",
+        "elasticity_10m_solve_s", "elasticity_10m_iterations",
+        "elasticity_amg_500k_solve_s", "elasticity_amg_500k_pc_setup_s",
+        "elasticity_amg_500k_iterations", "elasticity_amg_500k_certify_s",
+        "poisson_amg_500k_solve_s", "poisson_amg_500k_setup_host_s",
+        "poisson_amg_500k_iterations",
+        "poisson_spoke_500k_first_solution_s", "poisson_spoke_500k_iter_ms",
+        "poisson_spoke_500k_assemble_s", "poisson_spoke_500k_true_rel",
+        "poisson_spoke_500k_window_w", "poisson_spoke_500k_window_ov",
+    )
+    compact.update({k: extra[k] for k in PICK if k in extra})
+    line = json.dumps({"metric": record["metric"], "value": value,
+                       "unit": "dof/s", "vs_baseline": vs,
+                       "extra": compact})
+    if len(line) > 1900:  # keep the driver-captured tail parseable
+        line = json.dumps({"metric": record["metric"], "value": value,
+                           "unit": "dof/s", "vs_baseline": vs,
+                           "extra": {"full_record": "BENCH.json"}})
+    print(line)
 
 
 if __name__ == "__main__":
