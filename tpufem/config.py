@@ -67,6 +67,11 @@ class SolverOptions:
     # nullspaces only — auto-disabled when the near-nullspace has >1
     # column (lumping preserves constants, not rotations; elasticity
     # measured 15 its unfiltered vs 73 at k=4 — la/amg.py)
+    amg_brick: str = "auto"              # auto | off — lattice-brick SA-AMG
+    # (la/bramg.py) on structured P1 problems: 3x3x3 geometric aggregates
+    # make every coarse level a gather-free 27-point block stencil and the
+    # setup a device probing pass (no CSR export / scipy SpGEMM).  "off"
+    # falls back to the generic SA path (la/amg.py).
     amg_fine_window: str = "auto"        # auto | on | off — RCM + block-
     # windowed fine-level SpMV on unstructured meshes (fem.window_op):
     # trades a dense-window value buffer (~350x the CSR bytes) for a

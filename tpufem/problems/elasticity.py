@@ -154,12 +154,19 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
     # assembled interleaved CSR).
     pc_type = cfg.solver.get("pc_type")
     planar = False
-    if structured and order == 1 and pc_type != "amg":
-        from tpufem.la.gmg import gmg_viable
-        planar = (pc_type in ("jacobi", "none")
-                  or gmg_viable(mesh, 3,
-                                int(cfg.solver.get("amg_coarse_eq_limit")),
-                                int(cfg.solver.get("amg_max_levels"))))
+    if structured and order == 1:
+        if pc_type == "amg":
+            # planar iff the brick-AMG path will serve (it runs planar
+            # end-to-end; the generic SA fallback stays interleaved to
+            # match its CSR export / ELL hierarchy)
+            from tpufem.la.bramg import brick_viable
+            planar = brick_viable(mesh, order, cfg.solver)
+        else:
+            from tpufem.la.gmg import gmg_viable
+            planar = (pc_type in ("jacobi", "none")
+                      or gmg_viable(mesh, 3,
+                                    int(cfg.solver.get("amg_coarse_eq_limit")),
+                                    int(cfg.solver.get("amg_max_levels"))))
 
     with Timer("ZZZ Assemble matrix"):
         if structured:

@@ -289,6 +289,18 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     # lattice dims not 2^L-divisible: geometric coarsening
                     # impossible -> fall back to algebraic multigrid
                     pc_type = "amg"
+            if pc_type == "amg" and structured:
+                from tpufem.la.bramg import BrickAMG, brick_viable
+                if brick_viable(mesh, order, solver):
+                    # lattice-brick SA-AMG: geometric 3^3 aggregates +
+                    # probed Galerkin — no CSR export, gather-free
+                    # V-cycle at every level (la/bramg.py)
+                    pc = BrickAMG.setup(A, mesh, bc.bs, solver,
+                                        dtype=dtype, near_nullspace=nns,
+                                        bc_mask=bc.mask())
+                    precond_of = lambda A_, pc_: (
+                        lambda r: pc_.vcycle(r, fine_matvec=matvec_of(A_)))
+                    pc_type = "brick-amg"
             if pc_type == "amg":
                 from tpufem.la.amg import SAAMG
                 csr_ = csr
@@ -335,7 +347,7 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                 else:
                     pc = 1.0 / A.diagonal()
                 precond_of = lambda A_, dinv: (lambda r: dinv * r)
-            elif pc_type != "gmg":
+            elif pc_type not in ("gmg", "brick-amg"):
                 pc = None
                 precond_of = lambda A_, _pc: None
 
