@@ -265,17 +265,25 @@ class _BLevel:
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         return flat_apply(self.plan, self.fields, self.gdims, self.c, x)
 
+    # NOTE: transfer contractions run at HIGHEST precision — the TPU
+    # default lowers einsum contractions to bf16 MXU passes, whose ~1e-2
+    # relative rounding corrupted both the probed stencils and the
+    # V-cycle transfers at m = 6 (measured true_rel 1e-4 at 468k
+    # elasticity; the m = 1 Poisson einsum lowers elementwise and was
+    # exact).  These are tiny m-wide contractions: VPU work either way.
     def p0_apply(self, xc: jnp.ndarray) -> jnp.ndarray:
         """Tentative prolongation: next-level flat -> this-level flat."""
         az, ay, ax = self.adims
         xl = xc.reshape(az, ay, ax, self.m)
         up = _upsample3(xl, self.gdims)                    # [g.., m]
-        y = jnp.einsum("zyxcj,zyxj->zyxc", self.fw, up)
+        y = jnp.einsum("zyxcj,zyxj->zyxc", self.fw, up,
+                       precision=jax.lax.Precision.HIGHEST)
         return self._to_flat(y)
 
     def p0t_apply(self, v: jnp.ndarray) -> jnp.ndarray:
         """Tentative restriction: this-level flat -> next-level flat."""
-        t = jnp.einsum("zyxcj,zyxc->zyxj", self.fw, self._to_lat(v))
+        t = jnp.einsum("zyxcj,zyxc->zyxj", self.fw, self._to_lat(v),
+                       precision=jax.lax.Precision.HIGHEST)
         return _bricksum3(t, self.adims).reshape(-1)
 
 
@@ -376,6 +384,12 @@ class BrickAMG:
             # ---- probe the coarse stencil (27 colors x m comps) ------------
             t0 = time.perf_counter()
             W = _probe_stencil(lv_here, op_here, adims, m, nd)
+            # exact symmetrization: Galerkin operators are symmetric, but
+            # f32 probe rounding leaves ~1e-7 relative asymmetry — enough
+            # to break PCG's residual recurrence silently through the
+            # V-cycle (measured true_rel 1e-4 at 468k elasticity before
+            # this fix; PCG requires an SPD preconditioner)
+            W = _symmetrize_stencil(W)
             # rank-deficient coarse dofs are inert: zero their couplings
             # (probe rounding noise) and give them a unit diagonal
             dd = dead.reshape(azc, ayc, axc, m)
@@ -396,12 +410,24 @@ class BrickAMG:
 
             if nc <= 8 * coarse_limit or len(levels) >= max_levels - 1 \
                     or min(azc, ayc, axc) < 2:
-                # ---- coarsest: dense inverse -------------------------------
+                # ---- coarsest: SPD inverse via eigen-clipping --------------
+                # plain inv is unsafe here: probe rounding (~1e-7 |A|
+                # through f32 level fields) can flip the coarse
+                # operator's smallest eigenvalues negative — elasticity's
+                # near-nullspace modes sit exactly there — making the
+                # V-cycle indefinite and PCG divergent-but-silent.
+                # Clipping the spectrum at eps*lmax keeps the inverse SPD
+                # and only weakens the preconditioner on noise-level
+                # modes.
                 t0 = time.perf_counter()
                 dense = _stencil_to_dense(W, adims, m)
-                shift = 1e-12 * max(float(np.abs(dense).max()), 1.0)
+                dense = 0.5 * (dense + dense.T)
+                evals, evecs = np.linalg.eigh(dense)
+                eps = (3e-7 if np.dtype(dtype).itemsize <= 4 else 1e-13)
+                floor = eps * max(float(evals.max()), 1e-300)
+                evals = np.maximum(evals, floor)
                 coarse_inv = jnp.asarray(
-                    np.linalg.inv(dense + shift * np.eye(nc)), dtype=dtype)
+                    (evecs / evals) @ evecs.T, dtype=dtype)
                 ph["coarse"] += time.perf_counter() - t0
                 break
 
@@ -503,19 +529,23 @@ def _probe_stencil(lv: "_BLevel", op, adims, m: int, nd) -> np.ndarray:
         z = z - mv(lv_.omega_dinv * z)      # (I - w A D^-1) ...
         return lv_.p0t_apply(z)             # P0^T -> coarse
 
-    # AOT-compiled probe program (tpufem.aot: the dispatch-path compiler
-    # on the axon backend bypasses the persistent cache)
+    # AOT-compiled SINGLE-COLUMN probe program (tpufem.aot: the
+    # dispatch-path compiler on the axon backend bypasses the persistent
+    # cache).  Column-at-a-time on purpose: a 27*m-wide vmap over the
+    # elasticity fine program measured a pathological ~18 min XLA
+    # compile through the TPU tunnel, while the unbatched program
+    # compiles like the CG solve and the 27*m dispatches pipeline.
     from tpufem.aot import compile_aot
-    ex = np.zeros((az, ay, ax, m, m), dtype=nd)
-    ex[::3, ::3, ::3] = np.eye(m, dtype=nd)
-    gal_j = compile_aot(jax.vmap(gal, in_axes=(None, None, 1), out_axes=1),
-                        lv, op, jnp.asarray(ex.reshape(nc, m)))
-    Y = np.empty((27, nc, m))
-    for ci, (cz, cy, cx) in enumerate(np.ndindex(3, 3, 3)):
-        probes = np.zeros((az, ay, ax, m, m), dtype=nd)
-        probes[cz::3, cy::3, cx::3] = np.eye(m, dtype=nd)
-        out = gal_j(lv, op, jnp.asarray(probes.reshape(nc, m)))
-        Y[ci] = np.asarray(out, dtype=np.float64)
+    ex = np.zeros(nc, dtype=nd)
+    gal_j = compile_aot(gal, lv, op, jnp.asarray(ex))
+    outs = []
+    for cz, cy, cx in np.ndindex(3, 3, 3):
+        for j in range(m):
+            probe = np.zeros((az, ay, ax, m), dtype=nd)
+            probe[cz::3, cy::3, cx::3, j] = 1.0
+            outs.append(gal_j(lv, op, jnp.asarray(probe.reshape(nc))))
+    got = np.asarray(jnp.stack(outs), dtype=np.float64)  # [27*m, nc]
+    Y = got.reshape(27, m, nc).transpose(0, 2, 1)  # [color, node K*i, j]
     Y = Y.reshape(27, az, ay, ax, m, m)  # [color, node K, i, probe j]
 
     W = np.zeros((3, 3, 3, az, ay, ax, m, m))
@@ -538,6 +568,26 @@ def _probe_stencil(lv: "_BLevel", op, adims, m: int, nd) -> np.ndarray:
     W[:, :, 0, :, :, 0] = 0.0
     W[:, :, 2, :, :, -1] = 0.0
     return W
+
+
+def _symmetrize_stencil(W: np.ndarray) -> np.ndarray:
+    """W[d][I] <- (W[d][I] + W[-d][I + d]^T) / 2 — make the probed
+    stencil an exactly symmetric operator (out-of-range partners are
+    zero, matching the zeroed out-of-range entries)."""
+    az, ay, ax = W.shape[3:6]
+    Ws = np.zeros_like(W)
+    for dzi, dyi, dxi in np.ndindex(3, 3, 3):
+        dz, dy, dx = dzi - 1, dyi - 1, dxi - 1
+        adj = np.zeros_like(W[dzi, dyi, dxi])
+        z0, z1 = max(0, -dz), min(az, az - dz)
+        y0, y1 = max(0, -dy), min(ay, ay - dy)
+        x0, x1 = max(0, -dx), min(ax, ax - dx)
+        adj[z0:z1, y0:y1, x0:x1] = np.swapaxes(
+            W[2 - dzi, 2 - dyi, 2 - dxi][z0 + dz: z1 + dz,
+                                         y0 + dy: y1 + dy,
+                                         x0 + dx: x1 + dx], -1, -2)
+        Ws[dzi, dyi, dxi] = 0.5 * (W[dzi, dyi, dxi] + adj)
+    return Ws
 
 
 def _stencil_to_dense(W: np.ndarray, adims, m: int) -> np.ndarray:
