@@ -80,7 +80,11 @@ def budget_check() -> None:
 def section(name: str):
     """Fence a bench entry: a failure logs + skips, keeping the report;
     bodies call budget_check() first, so entries past the wall budget
-    are skipped entirely."""
+    are skipped entirely.  Collects garbage on exit — carrying GBs of
+    dead arrays into the next section makes its host phases page-fault
+    at this VM's 16-80 MB/s first-touch rate (the round-4 spoke
+    'assemble 24 s' was this, 7.5 s in isolation)."""
+    import gc
     t0 = time.perf_counter()
     try:
         yield
@@ -90,6 +94,8 @@ def section(name: str):
     except Exception:
         log(f"section {name} FAILED after {time.perf_counter() - t0:.1f}s:"
             f"\n{traceback.format_exc()}")
+    finally:
+        gc.collect()
 
 
 def fidelity_keys(extra: dict, key: str, solver_function) -> None:
@@ -326,7 +332,10 @@ def main() -> None:
         del prob3, x3
 
     # ---- 4. 10M-DOF strong-scaling configs (README.md:129-146, :84-104) ---
-    with section("poisson_p1_10m"):
+    # (run LAST: their ~8-10 GB host working set degrades every later
+    # section's host phases on this VM — see section()'s gc note)
+    def run_10m_sections():
+      with section("poisson_p1_10m"):
         budget_check()
         ND10 = 10_000_000
         cfgA = Config(problem_type="poisson", ndofs=ND10,
@@ -361,7 +370,7 @@ def main() -> None:
         fidelity_keys(extra, "poisson_p1_10m", probA.solver_function)
         del probA, xA
 
-    with section("cgpoisson_p1_10m"):
+      with section("cgpoisson_p1_10m"):
         budget_check()
         cfgB = Config(problem_type="cgpoisson", ndofs=10_000_000,
                       scaling_type="strong", dtype="float32",
@@ -381,6 +390,47 @@ def main() -> None:
             "cgpoisson_p1_10m_gdof_per_s": round(gdofsB, 3),
         })
         del probB, xB
+
+      # elasticity 10M strong-scaling row (README.md:84-104; VERDICT r4 #5):
+      # GMG path (the production structured elasticity preconditioner),
+      # certified true residual
+      with section("elasticity_10m"):
+        budget_check()
+        cfgE = Config(problem_type="elasticity", ndofs=10_000_000,
+                      scaling_type="strong", dtype="float32",
+                      solver=SolverOptions(pc_type="gmg", ksp_rtol=RTOL,
+                                           ksp_max_it=200))
+        nxe, nye, nze, _lv = compute_box_size_structured(10_000_000, True,
+                                                         3, 1, 1)
+        meshE = BoxTetMesh(nxe, nye, nze)
+        log(f"elasticity 10M: mesh {nxe}x{nye}x{nze}, build")
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(sys.stderr):
+            probE = elasticity.problem(meshE, 1, cfgE)
+        assembleE_s = time.perf_counter() - t0
+        xE, itE, firstE_s = first_solve(probE)
+        pcE_s = getattr(make_solver, "_last_pc_setup_s", 0.0)
+        solveE_s = timed_solves(probE, reps=5, passes=2)
+        ndE = probE.space.ndofs
+        log(f"elasticity 10M: assemble {assembleE_s:.1f}s, first solve "
+            f"{firstE_s:.1f}s (PC {pcE_s:.1f}s), warm {solveE_s:.4f}s, "
+            f"{itE} iters")
+        from tpufem.memprof import device_memory_stats
+        hbm = device_memory_stats().get("bytes_in_use")
+        if hbm:
+            extra["elasticity_10m_hbm_gb"] = round(hbm / 2**30, 2)
+        extra.update({
+            "elasticity_10m_ndofs": ndE,
+            "elasticity_10m_assemble_s": round(assembleE_s, 4),
+            "elasticity_10m_solve_s": round(solveE_s, 4),
+            "elasticity_10m_solve_first_s": round(firstE_s, 4),
+            "elasticity_10m_pc_setup_s": round(pcE_s, 4),
+            "elasticity_10m_iterations": itE,
+            "elasticity_10m_dofs_per_s": round(
+                ndE / (assembleE_s + solveE_s), 1),
+        })
+        fidelity_keys(extra, "elasticity_10m", probE.solver_function)
+        del probE, xE
 
     # ---- 5. elasticity 500k: P1+GMG, P2+GMG, P1+AMG(nullspace) ------------
     # P1+GMG is the flagship; P2 exercises the slab/StructuredOperator
@@ -538,7 +588,15 @@ def main() -> None:
                 f"{key}_first_solution_s": round(first_solution_s, 4),
                 f"{key}_iter_ms": round(per_it6 * 1e3, 3),
             })
+            wi = getattr(prob6.solver_function, "_window_info", None)
+            if wi:  # fine-operator window diagnostics (VERDICT r4 #2)
+                extra[f"{key}_window_w"] = wi["w"]
+                extra[f"{key}_window_mb"] = wi["vals_mb"]
+                extra[f"{key}_window_ov"] = wi["ov_frac"]
             del prob6, x6, mesh6
+
+    # ---- 8. 10M strong-scaling rows, last (see run_10m_sections note) -----
+    run_10m_sections()
 
     value = headline["value"]
     vs = 1.0

@@ -97,11 +97,29 @@ class WindowedMatrix:
         nc = (self.n + self.C - 1) // self.C
         x2 = jnp.zeros((nc * self.C,), x.dtype).at[:self.n].set(x)
         xg = x2.reshape(nc, self.C)[self.blk_idx].reshape(nb, WC)
-        y = jnp.einsum("brk,bk->br", self.vals, xg)
+        if self.vals.dtype == jnp.bfloat16:
+            # approximate (preconditioner) twin: bf16 values halve the
+            # streaming traffic — the apply is bandwidth-bound on vals —
+            # with f32 accumulation; entrywise rounding keeps the
+            # operator symmetric, which is all a V-cycle level needs
+            y = jnp.einsum("brk,bk->br", self.vals,
+                           xg.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            y = y.astype(x.dtype)
+        else:
+            y = jnp.einsum("brk,bk->br", self.vals, xg)
         y = y.reshape(nb * R)[:self.n]
         if self.ov_rows is not None:
-            y = y.at[self.ov_rows].add(self.ov_vals * x[self.ov_cols])
+            ov = self.ov_vals.astype(x.dtype) * x[self.ov_cols]
+            y = y.at[self.ov_rows].add(ov)
         return y
+
+    def as_bf16(self) -> "WindowedMatrix":
+        """bf16-valued twin sharing the index structure (see matvec)."""
+        return dataclasses.replace(
+            self, vals=self.vals.astype(jnp.bfloat16),
+            ov_vals=(self.ov_vals.astype(jnp.bfloat16)
+                     if self.ov_vals is not None else None))
 
     @classmethod
     def estimate_bytes(cls, indptr: np.ndarray, indices: np.ndarray,

@@ -321,13 +321,32 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     # unstructured fine level: RCM + block-windowed SpMV
                     # (fem.window_op — 2.4 ms vs 18.7 ms per 150k apply)
                     # as BOTH the CG operator and the V-cycle fine level;
-                    # the hierarchy is built over the permuted matrix
+                    # the hierarchy is built over the permuted matrix.
+                    # The V-cycle's ~6 fine applies per iteration use a
+                    # bf16-valued twin (halved streaming traffic; a
+                    # preconditioner only needs a fixed symmetric
+                    # operator) while CG's own matvec stays exact f32
+                    # when the solve dtype is f32.
                     pc = SAAMG.setup(csr_w, bs=bc.bs, options=solver,
                                      dtype=dtype, near_nullspace=nns_w,
                                      bc_mask=mask_w, fine_factored=True)
                     cache["A_op"] = wop
+                    wop_pc = (wop.as_bf16()
+                              if np.dtype(dtype) == np.float32 else wop)
+                    # the twin rides in the pc pytree so it is a traced
+                    # ARGUMENT of the compiled program (closure constants
+                    # of this size overflow the tunnel compile payload)
+                    pc = (pc, wop_pc)
                     precond_of = lambda A_, pc_: (
-                        lambda r: pc_.vcycle(r, fine_matvec=A_.matvec))
+                        lambda r: pc_[0].vcycle(r, fine_matvec=pc_[1].matvec))
+                    nnz_w = csr_w[2].shape[0]
+                    ov_nnz = (int(wop.ov_vals.shape[0])
+                              if wop.ov_vals is not None else 0)
+                    cache["window_info"] = {
+                        "w": int(wop.vals.shape[2]) // wop.C,
+                        "vals_mb": round(wop.nbytes_vals / 2**20, 1),
+                        "ov_frac": round(ov_nnz / max(nnz_w, 1), 4),
+                    }
                 else:
                     pc = SAAMG.setup(csr_, bs=bc.bs, options=solver,
                                      dtype=dtype, near_nullspace=nns,
@@ -390,6 +409,8 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
             cache["A_op"] = A_op
             cache["run"], cache["pc"] = compile_aot(run, A_op, pc, u0,
                                                     rhs), pc
+            if "window_info" in cache:  # bench diagnostics (VERDICT r4 #2)
+                solver_function._window_info = cache["window_info"]
         x, it, rel = cache["run"](cache["A_op"], cache["pc"], u0, rhs)
         if fidelity is not None and str(solver.get("ksp_true_residual")) != "off":
             x = _certify(x, rhs, it, rel)
