@@ -675,12 +675,21 @@ class SAAMG:
             lvl_bs = B.shape[1]  # coarse levels carry m dofs per aggregate
             sizes.append(Al.shape[0])
 
-        # dense coarse solve, applied as a matmul on device; tiny diagonal
-        # shift guards the (dropped-dof-free, hence SPD) coarse operator
+        # dense coarse solve, applied as a matmul on device.  Eigen-cutoff
+        # PSEUDO-inverse instead of a plain inverse: a singular operator
+        # (the pure-Neumann spoke problem, PARITY.md) Galerkin-coarsens
+        # to a coarse matrix with a ~1e-15-relative nullspace eigenvalue,
+        # and inverting it amplifies the constant mode by ~1e15 — the
+        # deflated f32 solve then drowns in cancellation noise.  Zeroing
+        # 1/lambda below the cutoff leaves the V-cycle inert on those
+        # modes (deflation handles them); for nonsingular systems the
+        # cutoff is far below the true spectrum and this equals inv.
         Ad = Al.toarray()
-        shift = 1e-12 * max(float(np.abs(Ad).max()), 1.0)
-        coarse_inv = jnp.asarray(
-            np.linalg.inv(Ad + shift * np.eye(Ad.shape[0])), dtype=dtype)
+        Ad = 0.5 * (Ad + Ad.T)
+        evals, evecs = np.linalg.eigh(Ad)
+        tau = 1e-9 * max(float(np.abs(evals).max()), 1e-300)
+        inv_evals = np.where(np.abs(evals) > tau, 1.0 / evals, 0.0)
+        coarse_inv = jnp.asarray((evecs * inv_evals) @ evecs.T, dtype=dtype)
         logger.info(
             "SA-AMG setup %.2fs: levels %s | %s", time.perf_counter() - t_total,
             sizes, " ".join(f"{k} {v:.2f}s" for k, v in ph.items() if v > 0.005))

@@ -535,16 +535,24 @@ def _probe_stencil(lv: "_BLevel", op, adims, m: int, nd) -> np.ndarray:
     # elasticity fine program measured a pathological ~18 min XLA
     # compile through the TPU tunnel, while the unbatched program
     # compiles like the CG solve and the 27*m dispatches pipeline.
+    import time as _time
     from tpufem.aot import compile_aot
+    t0 = _time.perf_counter()
     ex = np.zeros(nc, dtype=nd)
     gal_j = compile_aot(gal, lv, op, jnp.asarray(ex))
+    logger.info("probe program (%s, m=%d) compiled in %.2fs",
+                "fine" if is_fine else "lattice", m,
+                _time.perf_counter() - t0)
     outs = []
     for cz, cy, cx in np.ndindex(3, 3, 3):
         for j in range(m):
             probe = np.zeros((az, ay, ax, m), dtype=nd)
             probe[cz::3, cy::3, cx::3, j] = 1.0
             outs.append(gal_j(lv, op, jnp.asarray(probe.reshape(nc))))
-    got = np.asarray(jnp.stack(outs), dtype=np.float64)  # [27*m, nc]
+    # pipelined dispatches above; plain transfer readback below — a
+    # jnp.stack here would route a 162-operand concat through the
+    # uncached dispatch-path compiler (minutes on the axon tunnel)
+    got = np.stack(jax.device_get(outs)).astype(np.float64)  # [27*m, nc]
     Y = got.reshape(27, m, nc).transpose(0, 2, 1)  # [color, node K*i, j]
     Y = Y.reshape(27, az, ay, ax, m, m)  # [color, node K, i, probe j]
 

@@ -97,6 +97,8 @@ class ShardedEllSolver:
     nc1: int = 0               # second-coarse size (psum payload length)
     c_rounds: Tuple = ()       # level-1 ppermute schedule
     max_owned_c: int = 0
+    deflate: bool = False      # project out the constant nullspace
+    #                            (pure-Neumann spoke problem, PARITY.md)
     _cache: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
@@ -104,7 +106,7 @@ class ShardedEllSolver:
               options, dtype=jnp.float32,
               near_nullspace: Optional[np.ndarray] = None,
               rtol: float = 1e-8, maxit: int = 100,
-              precond: bool = True,
+              precond: bool = True, deflate: bool = False,
               devices=None) -> "ShardedEllSolver":
         """``precond=False`` runs plain distributed CG (the cgpoisson
         convention: on the BC-zero subspace the eliminated unit-diagonal
@@ -288,47 +290,65 @@ class ShardedEllSolver:
         elif precond:
             suffix = amg  # levels empty -> vcycle = dense coarse solve
 
+        # multi-process: the host setup above ran identically in every
+        # process (the reference's spoke path is serial rank-0 setup
+        # too, mesh.cpp:209); the device arrays below materialize ONLY
+        # the shards this process addresses
+        multiproc = jax.process_count() > 1
+        if devices is None:
+            if multiproc:
+                from tpufem.parallel.multihost import shard_devices
+                devices = shard_devices(S)
+            else:
+                devices = jax.devices()
+        if len(devices) < S:
+            raise ValueError(f"need {S} devices, have {len(devices)}")
+
+        def _put(a):
+            a = np.asarray(a)
+            if not multiproc:
+                return jnp.asarray(a)
+            from tpufem.parallel.multihost import make_sharded_rows
+            return make_sharded_rows(S, a.shape[1:], a.dtype,
+                                     lambda s, aa=a: aa[s], devices[:S])
+
         data_d = dict(
-            ell_cols=jnp.asarray(ell_cols),
-            ell_vals=jnp.asarray(ell_vals),
-            dinv=jnp.asarray(dinv_loc),
-            owned_mask=jnp.asarray(gmap.owned_mask),
-            send_idx=jnp.asarray(gmap.send_idx.astype(np.int32)),
-            send_mask=jnp.asarray(gmap.send_mask),
-            recv_idx=jnp.asarray(gmap.recv_idx.astype(np.int32)),
-            recv_mask=jnp.asarray(gmap.recv_mask),
-            b=jnp.asarray(gmap.distribute(
+            ell_cols=_put(ell_cols),
+            ell_vals=_put(ell_vals),
+            dinv=_put(dinv_loc),
+            owned_mask=_put(gmap.owned_mask),
+            send_idx=_put(gmap.send_idx.astype(np.int32)),
+            send_mask=_put(gmap.send_mask),
+            recv_idx=_put(gmap.recv_idx.astype(np.int32)),
+            recv_mask=_put(gmap.recv_mask),
+            b=_put(gmap.distribute(
                 b_global.astype(np.float64)).astype(npdtype)),
         )
         if has_fine:
-            data_d["p_vals"] = jnp.asarray(p_vals)
+            data_d["p_vals"] = _put(p_vals)
             if dist_l1:
-                data_d["p_cols_loc"] = jnp.asarray(p_cols_loc)
-                data_d["c_ell_cols"] = jnp.asarray(c_ell_cols)
-                data_d["c_ell_vals"] = jnp.asarray(c_ell_vals)
-                data_d["c_dinv"] = jnp.asarray(c_dinv)
-                data_d["c_owned_mask"] = jnp.asarray(gmap_c.owned_mask)
-                data_d["c_send_idx"] = jnp.asarray(
-                    gmap_c.send_idx.astype(np.int32))
-                data_d["c_send_mask"] = jnp.asarray(gmap_c.send_mask)
-                data_d["c_recv_idx"] = jnp.asarray(
-                    gmap_c.recv_idx.astype(np.int32))
-                data_d["c_recv_mask"] = jnp.asarray(gmap_c.recv_mask)
-                data_d["p1_cols"] = jnp.asarray(p1_cols)
-                data_d["p1_vals"] = jnp.asarray(p1_vals)
+                data_d["p_cols_loc"] = _put(p_cols_loc)
+                data_d["c_ell_cols"] = _put(c_ell_cols)
+                data_d["c_ell_vals"] = _put(c_ell_vals)
+                data_d["c_dinv"] = _put(c_dinv)
+                data_d["c_owned_mask"] = _put(gmap_c.owned_mask)
+                data_d["c_send_idx"] = _put(gmap_c.send_idx.astype(np.int32))
+                data_d["c_send_mask"] = _put(gmap_c.send_mask)
+                data_d["c_recv_idx"] = _put(gmap_c.recv_idx.astype(np.int32))
+                data_d["c_recv_mask"] = _put(gmap_c.recv_mask)
+                data_d["p1_cols"] = _put(p1_cols)
+                data_d["p1_vals"] = _put(p1_vals)
             else:
-                data_d["p_cols"] = jnp.asarray(p_cols)
+                data_d["p_cols"] = _put(p_cols)
+        # replicated side data: uncommitted host->default-device arrays
+        # (identical in every process; jit replicates them)
         repl["local_gids"] = jnp.asarray(gmap.local_gids.astype(np.int32))
         repl["owned_mask_all"] = jnp.asarray(gmap.owned_mask)
 
-        if devices is None:
-            devices = jax.devices()
-        if len(devices) < S:
-            raise ValueError(f"need {S} devices, have {len(devices)}")
         mesh_axis = Mesh(np.array(devices[:S]), ("shard",))
         return cls(gmap=gmap, data=data_d, repl=repl, suffix=suffix,
                    ndofs=N, S=S, mesh_axis=mesh_axis, rtol=rtol,
-                   maxit=maxit, smoother_degree=degree,
+                   maxit=maxit, smoother_degree=degree, deflate=deflate,
                    lmax0=lmax0, has_fine_level=has_fine,
                    nc0=int(amg.level_sizes[1]) if has_fine else 0,
                    dist_l1=dist_l1,
@@ -349,6 +369,7 @@ class ShardedEllSolver:
         rounds = gm.rounds
         max_owned = gm.max_owned
         dist_l1 = self.dist_l1
+        deflate = self.deflate
         lmax1 = self.lmax1
         nc1 = self.nc1
         c_rounds = self.c_rounds
@@ -481,8 +502,23 @@ class ShardedEllSolver:
                 return jax.lax.psum(local, "shard")
 
             M = precond if suffix is not None else None
-            x, it, rel = cg_solve(spmv, d["b"], precond=M,
+            b_in = d["b"]
+            if deflate:
+                # pure-Neumann deflation (see problems/poisson.make_solver):
+                # owned-masked global mean via ONE psum; subtracting a
+                # constant keeps ghost slots consistent
+                def demean(v):
+                    s = jax.lax.psum(
+                        jnp.sum(jnp.where(d["owned_mask"], v, 0.0)),
+                        "shard")
+                    return v - s / N
+                b_in = demean(b_in)
+                M = ((lambda r, _M=M: demean(_M(r)))
+                     if M is not None else demean)
+            x, it, rel = cg_solve(spmv, b_in, precond=M,
                                   rtol=rtol, maxit=maxit, dot_fn=dot)
+            if deflate:
+                x = demean(x)
             return x[None], it, rel
 
         specs_d = {k: P("shard") for k in self.data}

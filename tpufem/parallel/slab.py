@@ -300,12 +300,13 @@ class ShardedCubeSolver:
 
     @classmethod
     def build_per_host(cls, mesh: BoxTetMesh, nshards: int,
-                       problem: str = "poisson", dtype=jnp.float32,
+                       problem: str = "poisson", order: int = 1,
+                       dtype=jnp.float32,
                        rtol: float = 1e-8, maxit: int = 100,
                        precond: bool = True, coarse_limit: int = 1000,
                        smoother_degree: int = 2, max_levels: int = 12,
                        gather_limit: int = 100_000) -> "ShardedCubeSolver":
-        """Multi-process (multi-host) construction — P1.
+        """Multi-process (multi-host) construction — all orders.
 
         Identical solver to :meth:`build`, but every [S, nloc] array is
         materialized through ``multihost.make_sharded_rows``: the
@@ -316,7 +317,12 @@ class ShardedCubeSolver:
         holds a global array.  This is the reference's per-node setup
         split (MPI_Comm_split_type subcommunicator, src/mesh.cpp:164-180)
         in TPU form; the replicated coarse suffix is built once per
-        host, like the reference's node-leader partitioning."""
+        host, like the reference's node-leader partitioning.
+
+        Orders >= 2 add the sharded p-coarsening fine level exactly as
+        :meth:`build` (reference CI runs order 3 on 2 ranks,
+        ccpp.yml:86-101); ``precond=False`` runs plain distributed CG
+        (the cgpoisson convention)."""
         from tpufem.fem.dirichlet import DirichletBC
         from tpufem.fem.space import FunctionSpace
         from tpufem.fem.structured_op import grid_layout
@@ -332,6 +338,7 @@ class ShardedCubeSolver:
             raise ValueError(f"Nz={mesh.Nz} not divisible by {S} shards")
 
         chain = _level_chain(mesh, bs, coarse_limit, max_levels)
+        lmax_of = {}
         if precond:
             K = 0
             while (K + 1 < len(chain)
@@ -342,40 +349,57 @@ class ShardedCubeSolver:
                 K += 1
             if K == 0:
                 raise ValueError("cannot shard with multigrid")
-            lmax = surrogate_lmax(mesh, 1, problem, marker, dtype)
+            for k in sorted({1, order}):
+                lmax_of[k] = surrogate_lmax(mesh, k, problem, marker, dtype)
+            specs = ([(chain[0], order)] if order > 1 else []) \
+                + [(chain[i], 1) for i in range(K)]
         else:
             K = 1
-            lmax = 1.0
+            lmax_of = {order: 1.0}
+            specs = [(chain[0], order)]
 
         devices = shard_devices(S)
         dt = np.dtype(dtype)
         levels: List[_Level] = []
-        for i in range(K):
-            nx, ny, nz = chain[i]
+        for dims, kord in specs:
+            nx, ny, nz = dims
             nzl = nz // S
             slab = BoxTetMesh(nx, ny, nzl)
-            op = DiaOperator.build(slab, 1, problem, dtype=dtype,
-                                   h_override=(1.0 / nx, 1.0 / ny, 1.0 / nz),
-                                   bake_bc=False)
-            m = (nx + 1) * (ny + 1) * bs
-            d_slab = op.diagonal_np().reshape(nzl + 1, m)
-            lspace = FunctionSpace(slab, 1, bs=bs)
+            h_over = (1.0 / nx, 1.0 / ny, 1.0 / nz)
+            if kord == 1:
+                op = DiaOperator.build(slab, 1, problem, dtype=dtype,
+                                       h_override=h_over, bake_bc=False)
+            elif kord == 2:
+                op = DiaOperator.try_const(slab, kord, problem, dtype=dtype,
+                                           bake_bc=False, h_override=h_over)
+                if op is None:
+                    op = DiaOperator.build(slab, kord, problem, dtype=dtype,
+                                           h_override=h_over, bake_bc=False,
+                                           mode="dense")
+            else:
+                from tpufem.fem.structured_op import StructuredOperator
+                op = StructuredOperator.build(slab, kord, problem,
+                                              dtype=dtype,
+                                              h_override=h_over)
+            lay_s = grid_layout(slab, kord)
+            d_slab = op.diagonal_np()
+            lspace = FunctionSpace(slab, kord, bs=bs)
             lbc = DirichletBC.from_space(
                 lspace, slab.locate_boundary_facets(marker))
             lmask = np.zeros(lspace.ndofs, dtype=bool)
             lmask[lbc.flat_dofs()] = True
-            nloc = (nzl + 1) * m
+            nloc = lspace.ndofs
 
-            def dinv_row(s, ds=d_slab, z=nzl):
-                return _slab_dinv_row(ds, s, S, z).reshape(-1).astype(dt)
+            def dinv_row(s, ds=d_slab, lay=lay_s, z=nzl):
+                return _slab_dinv_row_k(ds, lay, z, bs, s, S).astype(dt)
 
             levels.append(_Level(
                 op=op,
                 dinv=make_sharded_rows(S, (nloc,), dt, dinv_row, devices),
                 bc=make_sharded_rows(S, (nloc,), np.bool_,
                                      lambda s, mm=lmask: mm, devices),
-                dims=chain[i], nzl=nzl, lmax=lmax, order=1,
-                iface=iface_plan(grid_layout(slab, 1), nzl, bs)))
+                dims=dims, nzl=nzl, lmax=lmax_of[kord], order=kord,
+                iface=iface_plan(lay_s, nzl, bs)))
 
         suffix = None
         if precond:
@@ -385,11 +409,11 @@ class ShardedCubeSolver:
                                max_levels=max_levels - K)
 
         nzl0 = chain[0][2] // S
-        nloc0 = (nzl0 + 1) * (chain[0][0] + 1) * (chain[0][1] + 1) * bs
+        nloc0 = levels[0].dinv.shape[1]
         b_arr = make_sharded_rows(
             S, (nloc0,), dt,
-            lambda s: _slab_partial_rhs(mesh, problem, s, S,
-                                        nzl0).astype(dt), devices)
+            lambda s: _slab_partial_rhs(mesh, problem, s, S, nzl0,
+                                        order=order).astype(dt), devices)
 
         def owned_row(s):
             o = np.ones(nloc0, dtype=bool)
@@ -437,8 +461,8 @@ class ShardedCubeSolver:
                   owned=owned, bs=bs, S=S, mesh_axis=mesh_axis,
                   rtol=rtol, maxit=maxit,
                   smoother_degree=smoother_degree)
-        sol._ids0, _ = slab_global_ids(mesh, 1, nzl0, S, bs)
-        sol._ndofs_global = FunctionSpace(mesh, 1, bs=bs).ndofs
+        sol._ids0, _ = slab_global_ids(mesh, order, nzl0, S, bs)
+        sol._ndofs_global = FunctionSpace(mesh, order, bs=bs).ndofs
         return sol
 
     # -- the jitted SPMD program ------------------------------------------------
@@ -672,52 +696,65 @@ def _slab_dinv_row(d_slab: np.ndarray, s: int, S: int, nzl: int) -> np.ndarray:
     return 1.0 / g
 
 
+def _slab_dinv_row_k(d_flat: np.ndarray, lay_s, nzl: int, bs: int,
+                     s: int, S: int) -> np.ndarray:
+    """Order-general version of :func:`_slab_dinv_row`: the interface
+    fix applies per dof KIND, to the kinds whose typed grid spans
+    nzl+1 z-planes (dz = 0 kinds — only those have dofs ON the shared
+    plane; dz = 1 kinds' dofs take contributions from their own layer's
+    cells only, so the slab diagonal is already exact)."""
+    g = d_flat.copy()
+    for base, (X, Y, Z), sl in lay_s.kinds:
+        if Z != nzl + 1:
+            continue
+        m = X * Y * sl * bs
+        b0 = base * bs
+        seg = g[b0: b0 + Z * m].reshape(Z, m)
+        dsl = d_flat[b0: b0 + Z * m].reshape(Z, m)
+        if s > 0:
+            seg[0] = dsl[0] + dsl[nzl]
+        if s < S - 1:
+            seg[nzl] = dsl[0] + dsl[nzl]
+    return 1.0 / g
+
+
 def _slab_partial_rhs(mesh: BoxTetMesh, problem: str, s: int, S: int,
-                      nzl: int) -> np.ndarray:
-    """Shard s's PARTIAL P1 RHS (volume term over the slab's own cells
-    + surface term over the slab faces that lie on the GLOBAL boundary;
-    interface-plane contributions stay partial and are accumulated by
-    one reverse/forward halo at build)."""
+                      nzl: int, order: int = 1) -> np.ndarray:
+    """Shard s's PARTIAL order-k RHS (volume term over the slab's own
+    cells + surface term over the slab faces that lie on the GLOBAL
+    boundary; interface-plane contributions stay partial and are
+    accumulated by one reverse/forward halo at build)."""
+    import jax.numpy as jnp
+
+    from tpufem.fem.space import FunctionSpace
     from tpufem.fem.structured_op import StructuredOperator
+    from tpufem.problems import common
     Nx, Ny, Nz = mesh.Nx, mesh.Ny, mesh.Nz
     slab = BoxTetMesh(Nx, Ny, nzl)
-    x = np.arange(Nx + 1) / Nx
-    y = np.arange(Ny + 1) / Ny
-    z = (s * nzl + np.arange(nzl + 1)) / Nz
-    from tpufem.problems import common
-    if problem == "elasticity":
-        comps = common.elasticity_f_components(
-            x[None, None, :], y[None, :, None], z[:, None, None])
-        f = np.stack([np.broadcast_to(c, (nzl + 1, Ny + 1, Nx + 1))
-                      for c in comps], axis=-1).reshape(-1)
-        bs = 3
-    else:
-        f2d = common.poisson_f_xy(x[None, :], y[:, None])
-        f = np.broadcast_to(f2d, (nzl + 1, Ny + 1, Nx + 1)).reshape(-1)
-        bs = 1
-    import jax.numpy as jnp
-    mass = StructuredOperator.build(slab, 1, "mass", dtype=jnp.float64,
-                                    device=False)
+    space = FunctionSpace(slab, order)
+    # dof coords in GLOBAL space: slab-normalized z -> (s*nzl + k)/Nz
+    coords = space.scalar_dof_coords().copy()
+    coords[:, 2] = (coords[:, 2] * nzl + s * nzl) / Nz
     # anisotropy: physical cube size is the GLOBAL h, not the slab's
-    from tpufem.fem.structured_op import perm_element_matrices
-    mass.Ap = perm_element_matrices(slab, 1, "mass",
+    mass = StructuredOperator.build(slab, order, "mass",
+                                    dtype=jnp.float64, device=False,
                                     h_override=(1.0 / Nx, 1.0 / Ny,
                                                 1.0 / Nz))
-    if bs == 3:
-        fr = f.reshape(-1, 3)
-        b = np.stack([mass.apply_raw_np(fr[:, r]) for r in range(3)],
-                     axis=-1).reshape(-1)
-        return b
-    b = mass.apply_raw_np(f)
+    if problem == "elasticity":
+        comps = common.elasticity_f_components(coords[:, 0], coords[:, 1],
+                                               coords[:, 2])
+        return np.stack(
+            [mass.apply_raw_np(np.ascontiguousarray(
+                np.broadcast_to(c, coords.shape[:1]), dtype=np.float64))
+             for c in comps], axis=-1).reshape(-1)
+    b = mass.apply_raw_np(common.poisson_f(coords))
     # Poisson surface term g = sin(5 x0) over global-boundary faces of
     # the slab (x/y faces always; z faces only at the global ends)
-    from tpufem.fem.space import FunctionSpace
     from tpufem.fem.structured_op import dof_gids_for_cells
     from tpufem.mesh.structured import CELL_VERTEX_OFFSETS, LOCAL_FACES
-    space = FunctionSpace(slab, 1)
     facets = slab.boundary_faces()
     cubes, perms, lf = slab.boundary_facet_cells(facets)
-    cd_cells = dof_gids_for_cells(slab, 1, cubes, perms)
+    cd_cells = dof_gids_for_cells(slab, order, cubes, perms)
     h = np.array([1.0 / Nx, 1.0 / Ny, 1.0 / Nz])
     verts = (cubes[:, None, :] + CELL_VERTEX_OFFSETS[perms]).astype(
         np.float64)
@@ -734,9 +771,6 @@ def _slab_partial_rhs(mesh: BoxTetMesh, problem: str, s: int, S: int,
         keep &= ~(np.abs(tri[:, :, 2] - lo) < 1e-12).all(axis=1)
     if s < S - 1:
         keep &= ~(np.abs(tri[:, :, 2] - hi) < 1e-12).all(axis=1)
-    # dof coords in GLOBAL space: slab-normalized z -> (s*nzl + k)/Nz
-    coords = space.scalar_dof_coords().copy()
-    coords[:, 2] = (coords[:, 2] * nzl + s * nzl) / Nz
     gdof = common.poisson_g(coords)
     from tpufem.problems.poisson import _facet_rhs_np
     b += _facet_rhs_np(space.element, gdof[cd_cells[keep]], cd_cells[keep],

@@ -259,6 +259,21 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
     structured = isinstance(mesh, BoxTetMesh)
     matvec_of = (lambda A: A.apply) if structured else (lambda A: A.matvec)
     cache = {}
+    # pure-Neumann well-posedness (the spoke mesh misses the reference's
+    # x0 in {0,1} Dirichlet planes, PARITY.md): deflate the constant
+    # nullspace — project b and every preconditioned residual to mean
+    # zero, so CG runs on the SPD complement and converges to the unique
+    # mean-zero representative (A @ 1 = 0 exactly for the pure-Neumann
+    # stiffness, so the Krylov space stays mean-free).  Documented
+    # deviation: the reference leaves the system singular and relies on
+    # iteration caps.
+    deflate = (problem_name == "poisson"
+               and np.asarray(bc.flat_dofs()).size == 0)
+    if deflate:
+        import logging
+        logging.getLogger("tpufem").info(
+            "no Dirichlet dofs (pure-Neumann): deflating the constant "
+            "nullspace (mean-zero solution)")
 
     bc_marker = (common.poisson_bc_marker if problem_name != "elasticity"
                  else common.elasticity_bc_marker)
@@ -392,10 +407,18 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     # system in/out once per solve (two n-gathers)
                     x0 = x0[A_.perm]
                     rhs_ = rhs_[A_.perm]
+                M_ = precond_of(A_, pc_)
+                if deflate:
+                    demean = lambda v: v - jnp.mean(v)
+                    rhs_ = demean(rhs_)
+                    M_ = ((lambda r, _M=M_: demean(_M(r)))
+                          if M_ is not None else demean)
                 x_, it_, rel_ = cg_solve(matvec_of(A_), rhs_,
                                          x0=x0 if nonzero_guess else None,
-                                         precond=precond_of(A_, pc_),
+                                         precond=M_,
                                          rtol=rtol, maxit=maxit)
+                if deflate:
+                    x_ = x_ - jnp.mean(x_)
                 if permuted:
                     x_ = x_[A_.iperm]
                 if planar:
@@ -433,9 +456,15 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
             solver_function._last_true_rel = None
             return x
         converged = bool(float(rel) <= rtol)
+        # refinement also engages when the inner solve merely made solid
+        # progress (f32 CG stagnates near working precision on
+        # ill-conditioned meshes — the spoke path stalls at ~3e-4 where
+        # f64 converges in 57 iterations; each refinement pass contracts
+        # the true residual by the inner solve's reduction factor)
+        progressed = bool(float(rel) <= 1e-3)
         is_f32 = np.dtype(dtype) == np.float32
         max_passes = (int(solver.get("ksp_refine_max"))
-                      if (is_f32 and converged) else 0)
+                      if (is_f32 and (converged or progressed)) else 0)
         zeros = jnp.zeros_like(rhs)
 
         def corr(r64):
@@ -489,6 +518,7 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
             A, csr = assemble_operator(space, bc, "poisson",
                                        dtype=np.dtype(dtype))
 
+    pure_neumann = np.asarray(bc.flat_dofs()).size == 0
     with Timer("ZZZ Assemble vector"):
         if structured and dtype == jnp.float32:
             # device volume term (one jitted stencil apply); f64 runs
@@ -497,6 +527,10 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         else:
             b_np = assemble_poisson_rhs_np(space)
             b_np[bc.flat_dofs()] = bc.value  # apply_lifting is zero (u0 = 0)
+            if pure_neumann:
+                # compatible RHS of the singular Neumann system (the
+                # deflated-solve contract, see make_solver)
+                b_np = b_np - b_np.mean()
             b = jnp.asarray(b_np.astype(np.dtype(dtype)))
 
     def fidelity():
@@ -515,6 +549,8 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
             apply64 = lambda v: M64 @ v
         b64 = assemble_poisson_rhs_np(space)
         b64[bc.flat_dofs()] = bc.value
+        if pure_neumann:
+            b64 = b64 - b64.mean()
         return apply64, b64
 
     u = jnp.zeros(space.ndofs, dtype=dtype)

@@ -105,6 +105,13 @@ def problem_rowshard(mesh, order: int, cfg: Config, problem_name: str,
             b_np = assemble_poisson_rhs_np(space)
         b_np[bc.flat_dofs()] = 0.0 if matfree else bc.value
 
+    # pure-Neumann deflation (the spoke mesh has no Dirichlet facets;
+    # mirror of problems/poisson.make_solver's documented deviation)
+    deflate = (problem_name == "poisson"
+               and np.asarray(bc.flat_dofs()).size == 0)
+    if deflate:
+        b_np = b_np - b_np.mean()
+
     nns = None
     if problem_name == "elasticity":
         from tpufem.la.nullspace import build_near_nullspace
@@ -125,18 +132,40 @@ def problem_rowshard(mesh, order: int, cfg: Config, problem_name: str,
         sh = ShardedEllSolver.build(
             space, bc, csr, b_np, num_shards, solver, dtype=dtype,
             near_nullspace=nns, rtol=rtol, maxit=maxit,
-            precond=precond)
+            precond=precond, deflate=deflate)
+
+    multiproc = jax.process_count() > 1
 
     def solver_function(u0, rhs) -> Tuple[jnp.ndarray, int]:
-        x, it, rel, dt = sh.solve_timed(reps=3)
+        if multiproc:
+            # multi-controller: x stays a global sharded array; report
+            # the owned-masked distributed norm (la::norm allreduce,
+            # reference main.cpp:229) instead of collecting
+            import time as _time
+            jax.block_until_ready(sh._run()[0])
+            t0 = _time.perf_counter()
+            x_loc, it, rel = sh._run()
+            jax.block_until_ready(x_loc)
+            dt = _time.perf_counter() - t0
+            n2 = jax.jit(lambda m, v: jnp.sum(
+                jnp.where(m, v, 0.0).astype(jnp.float64) ** 2
+                if v.dtype == jnp.float64 else
+                jnp.where(m, v, 0.0) ** 2))(sh.data["owned_mask"], x_loc)
+            solver_function._last_norm = float(np.sqrt(float(n2)))
+        else:
+            x_loc, it, rel, dt = sh.solve_timed(reps=3)
         if matfree:
-            gdofs = it * space.ndofs / dt / 1e9
+            gdofs = int(it) * space.ndofs / dt / 1e9
             print(f"CG matrix-free action processed: {gdofs} Gdof/s",
                   flush=True)
             problem_rowshard._last_gdofs = gdofs
         problem_rowshard._last_solve_s = dt
-        return jnp.asarray(x), it
+        return jnp.asarray(x_loc) if not multiproc else x_loc, int(it)
 
+    if multiproc:
+        return common.Problem(b=None, u=None,
+                              solver_function=solver_function,
+                              space=space, bc=bc)
     return common.Problem(b=jnp.asarray(b_np.astype(np.dtype(dtype))),
                           u=jnp.zeros(space.ndofs, dtype=dtype),
                           solver_function=solver_function,
@@ -200,14 +229,10 @@ def problem(mesh, order: int, cfg: Config, problem_name: str,
         if multiproc:
             # the mpirun -np N analogue: every process builds ONLY its
             # addressable shards (reference src/main.cpp:246,
-            # mesh.cpp:164-180)
-            if matfree or order != 1:
-                raise NotImplementedError(
-                    "multi-process runs support the assembled P1 "
-                    "poisson/elasticity paths (run order>=2 / cgpoisson "
-                    "single-process over the device mesh)")
+            # mesh.cpp:164-180); covers the reference's full CI matrix —
+            # order 1-3, assembled and matrix-free (ccpp.yml:56-117)
             sh = ShardedCubeSolver.build_per_host(
-                mesh, num_shards, problem=base, dtype=dtype,
+                mesh, num_shards, problem=base, order=order, dtype=dtype,
                 rtol=rtol, maxit=maxit, precond=precond,
                 coarse_limit=int(solver.get("amg_coarse_eq_limit")),
                 smoother_degree=int(solver.get("amg_smoother_degree")),
@@ -234,6 +259,11 @@ def problem(mesh, order: int, cfg: Config, problem_name: str,
             x_loc, it, rel = sh._run(sh.b_local)
             jax.block_until_ready(x_loc)
             problem._last_solve_s = _time.perf_counter() - t0
+            if matfree:
+                gdofs = int(it) * space.ndofs / problem._last_solve_s / 1e9
+                print(f"CG matrix-free action processed: {gdofs} Gdof/s",
+                      flush=True)
+                problem._last_gdofs = gdofs
             n2 = jax.jit(lambda o, v: jnp.sum(
                 jnp.where(o, v, 0.0).astype(jnp.float64) ** 2
                 if v.dtype == jnp.float64 else
