@@ -495,6 +495,80 @@ class BrickAMG:
     def as_preconditioner(self, fine_matvec: Callable) -> Callable:
         return lambda r: self.vcycle(r, fine_matvec=fine_matvec)
 
+    def profile_vcycle(self, fine_op, n: int, reps: int = 10) -> dict:
+        """Amortized per-stage milliseconds of one V-cycle apply
+        (VERDICT r5 #1: the bench must attribute the V-cycle cost).
+
+        Stages: ``smooth`` = level-0 Chebyshev pre+post sweeps;
+        ``transfer`` = level-0 restrict + prolong incl. the two factored
+        smoothing corrections (4 extra fine applies); ``below`` = the
+        whole recursion beneath level 0; ``coarse`` = the dense coarse
+        solve alone; ``total`` = one full V-cycle.  Each stage is its
+        own AOT-compiled program (operators as pytree args) timed by
+        pipelined dispatches with a scalar-readback barrier (the axon
+        tunnel's block_until_ready can return early)."""
+        import time as _t
+        from tpufem.aot import compile_aot_cached
+        lv0 = self.levels[0]
+        deg = self.smoother_degree
+        nd = lv0.dinv.dtype
+        az, ay, ax = lv0.adims
+        ncoarse = az * ay * ax * lv0.m
+        nbottom = self.coarse_inv.shape[0]
+
+        def timed(tag, fn, *args):
+            key = ("bramg_prof", tag, n,
+                   str(jax.tree_util.tree_structure(args)),
+                   tuple(x.shape for x in jax.tree_util.tree_leaves(args)))
+            exe = compile_aot_cached(key, lambda: fn, *args)
+            float(jnp.ravel(exe(*args))[-1])  # warm
+            best = 1e30
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                outs = [exe(*args) for _ in range(reps)]
+                float(jnp.ravel(outs[-1])[-1])
+                best = min(best, (_t.perf_counter() - t0) / reps)
+            return round(best * 1e3, 3)
+
+        r = jnp.ones(n, dtype=nd)
+        rc = jnp.ones(ncoarse, dtype=nd)
+        rb = jnp.ones(nbottom, dtype=nd)
+
+        def st_smooth(me, op, rr):
+            l0 = me.levels[0]
+            x, _ = chebyshev_smoother_zero(op.apply, l0.dinv, l0.lmax,
+                                           degree=me.smoother_degree)(rr)
+            return chebyshev_smoother(op.apply, l0.dinv, l0.lmax,
+                                      degree=me.smoother_degree)(x, rr)
+
+        def st_transfer(me, op, rr):
+            l0 = me.levels[0]
+            v = rr - op.apply(l0.omega_dinv * rr)
+            xc = l0.p0t_apply(v)
+            y = l0.p0_apply(xc)
+            return y - l0.omega_dinv * op.apply(y)
+
+        def st_below(me, op, rcv):
+            return me.vcycle(rcv, 1, fine_matvec=op.apply)
+
+        def st_coarse(me, rbv):
+            return jnp.matmul(me.coarse_inv, rbv,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        def st_total(me, op, rr):
+            return me.vcycle(rr, fine_matvec=op.apply)
+
+        out = {
+            "smooth": timed("smooth", st_smooth, self, fine_op, r),
+            "transfer": timed("transfer", st_transfer, self, fine_op, r),
+            "below": timed("below", st_below, self, fine_op, rc),
+            "coarse": timed("coarse", st_coarse, self, rb),
+            "total": timed("total", st_total, self, fine_op, r),
+        }
+        out["smoother_degree"] = deg
+        logger.info("V-cycle split (n=%d): %s", n, out)
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Probing
@@ -529,30 +603,51 @@ def _probe_stencil(lv: "_BLevel", op, adims, m: int, nd) -> np.ndarray:
         z = z - mv(lv_.omega_dinv * z)      # (I - w A D^-1) ...
         return lv_.p0t_apply(z)             # P0^T -> coarse
 
-    # AOT-compiled SINGLE-COLUMN probe program (tpufem.aot: the
-    # dispatch-path compiler on the axon backend bypasses the persistent
-    # cache).  Column-at-a-time on purpose: a 27*m-wide vmap over the
-    # elasticity fine program measured a pathological ~18 min XLA
-    # compile through the TPU tunnel, while the unbatched program
-    # compiles like the CG solve and the 27*m dispatches pipeline.
+    # ALL 27*m probe columns in ONE lax.scan program: the column body
+    # compiles once (a 27*m-wide vmap over the elasticity fine program
+    # measured a pathological ~18 min XLA compile through the TPU
+    # tunnel; scan keeps the compiled body single-column) and the whole
+    # probe is ONE dispatch + ONE readback — the column-at-a-time
+    # variant paid 27*m tunnel round trips (~2.4 s warm, minutes-scale
+    # cold while the terminal lazily compiled under per-dispatch load).
+    def gal_all(lv_, op_, cols_):
+        zi = jax.lax.broadcasted_iota(jnp.int32, (az, ay, ax), 0) % 3
+        yi = jax.lax.broadcasted_iota(jnp.int32, (az, ay, ax), 1) % 3
+        xi = jax.lax.broadcasted_iota(jnp.int32, (az, ay, ax), 2) % 3
+
+        def body(_, col):
+            mask = ((zi == col[0]) & (yi == col[1])
+                    & (xi == col[2]))[..., None]
+            onej = jnp.arange(m, dtype=jnp.int32) == col[3]
+            probe = (mask & onej).astype(nd).reshape(nc)
+            return None, gal(lv_, op_, probe)
+
+        return jax.lax.scan(body, None, cols_)[1]
+
     import time as _time
-    from tpufem.aot import compile_aot
+    from tpufem.aot import compile_aot_cached
     t0 = _time.perf_counter()
-    ex = np.zeros(nc, dtype=nd)
-    gal_j = compile_aot(gal, lv, op, jnp.asarray(ex))
-    logger.info("probe program (%s, m=%d) compiled in %.2fs",
+    cols = np.array([(cz, cy, cx, j)
+                     for cz, cy, cx in np.ndindex(3, 3, 3)
+                     for j in range(m)], dtype=np.int32)  # [27m, 4]
+    # process-wide memo: the probe program depends only on shapes/plan
+    # aux, not the weight values (lv/op are pytree arguments), so later
+    # setups of the same geometry reuse the executable.  Re-compiling it
+    # each setup measured 13.2 s + 6.0 s of the 21 s warm probe phase at
+    # 468k elasticity (the whole VERDICT-r5 "PC setup <= 10 s" gap).
+    key = ("bramg_probe_scan", is_fine, m, np.dtype(nd).str, adims, nc,
+           # the full static structure of the inputs: any aux change
+           # (plan, dims, lmax, zone tables) keys a fresh executable,
+           # so a hit is exactly-reusable
+           str(jax.tree_util.tree_structure((lv, op))),
+           tuple(x.shape for x in jax.tree_util.tree_leaves((lv, op))))
+    gal_j = compile_aot_cached(key, lambda: gal_all, lv, op,
+                               jnp.asarray(cols))
+    logger.info("probe program (%s, m=%d) ready in %.2fs",
                 "fine" if is_fine else "lattice", m,
                 _time.perf_counter() - t0)
-    outs = []
-    for cz, cy, cx in np.ndindex(3, 3, 3):
-        for j in range(m):
-            probe = np.zeros((az, ay, ax, m), dtype=nd)
-            probe[cz::3, cy::3, cx::3, j] = 1.0
-            outs.append(gal_j(lv, op, jnp.asarray(probe.reshape(nc))))
-    # pipelined dispatches above; plain transfer readback below — a
-    # jnp.stack here would route a 162-operand concat through the
-    # uncached dispatch-path compiler (minutes on the axon tunnel)
-    got = np.stack(jax.device_get(outs)).astype(np.float64)  # [27*m, nc]
+    got = np.asarray(jax.device_get(gal_j(lv, op, jnp.asarray(cols))),
+                     dtype=np.float64)  # [27*m, nc]
     Y = got.reshape(27, m, nc).transpose(0, 2, 1)  # [color, node K*i, j]
     Y = Y.reshape(27, az, ay, ax, m, m)  # [color, node K, i, probe j]
 

@@ -434,6 +434,10 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                                                     rhs), pc
             if "window_info" in cache:  # bench diagnostics (VERDICT r4 #2)
                 solver_function._window_info = cache["window_info"]
+            # bench diagnostics: let the harness profile the V-cycle
+            # per stage (VERDICT r5 #1) without re-running setup
+            solver_function._pc = pc
+            solver_function._A_op = A_op
         x, it, rel = cache["run"](cache["A_op"], cache["pc"], u0, rhs)
         if fidelity is not None and str(solver.get("ksp_true_residual")) != "off":
             x = _certify(x, rhs, it, rel)
