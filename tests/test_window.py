@@ -149,3 +149,51 @@ def test_csr_permute_sym_native_matches_scipy(monkeypatch):
     assert np.array_equal(csr_a[0], csr_b[0])
     assert np.array_equal(csr_a[1], csr_b[1])
     assert np.array_equal(csr_a[2], csr_b[2])
+
+
+def test_spoke_windowed_f32_contract():
+    """End-to-end regression for the production unstructured wiring:
+    spoke mesh, f32, window FORCED on, CG + SA-AMG + deflation +
+    mixed-precision refinement must close the 1e-8 contract.
+
+    Pins two r5 fixes: (a) the windowed V-cycle uses ASSEMBLED
+    transfers — the factored runtime form is adjoint only to f32
+    rounding and diverges outright on this mesh's wildly-scaled
+    entries (rel 3.8 after 100 its vs 8e-7 with assembled transfers
+    over the SAME hierarchy at 150k); (b) the bf16 fine-level twin is
+    off by default — it stalls CG at ~2e-2, above the 1e-3
+    refinement-engagement threshold."""
+    from tpufem.config import Config, SolverOptions
+    from tpufem.mesh.spoke import create_spoke_mesh
+    from tpufem.problems import poisson
+
+    cfg = Config(problem_type="poisson", ndofs=20_000,
+                 scaling_type="weak", mesh_type="unstructured",
+                 dtype="float32",
+                 solver=SolverOptions(pc_type="amg", ksp_rtol=1e-8,
+                                      ksp_max_it=100,
+                                      amg_fine_window="on"))
+    mesh = create_spoke_mesh(20_000, True, 1, 1, verbose=False)
+    prob = poisson.problem(mesh, 1, cfg)
+    assert getattr(prob.solver_function, "_window_info", None) is None
+    x, it = prob.solver_function(prob.u, prob.b)
+    assert prob.solver_function._window_info is not None
+    tr = prob.solver_function._last_true_rel
+    assert tr is not None and tr <= 1e-7, (tr, it)
+
+
+def test_window_rectangular_matvec():
+    """Rectangular windowed form (the AMG transfer matvecs): exact for
+    both tall (P, [n x nc]) and wide (PT, [nc x n]) shapes."""
+    rng = np.random.default_rng(7)
+    n, nc_ = 700, 53
+    P = sp.random(n, nc_, density=0.02, random_state=3, format="csr")
+    P.data[:] = rng.standard_normal(P.nnz)
+    for M in (P, P.T.tocsr()):
+        w = WindowedMatrix.from_csr(M.indptr, M.indices, M.data,
+                                    dtype=np.float64, ncols=M.shape[1])
+        x = rng.standard_normal(M.shape[1])
+        y = np.asarray(w.matvec(jnp.asarray(x)))
+        ref = M @ x
+        assert y.shape == (M.shape[0],)
+        assert np.allclose(y, ref, atol=1e-12 * max(1.0, np.abs(ref).max()))

@@ -78,6 +78,12 @@ class SolverOptions:
     # gather-free apply, ~8x faster on v5e.  "auto" uses it when the
     # buffer fits the byte budget below; coarse levels stay ELL/dense.
     amg_window_budget_mb: int = 4096
+    amg_window_bf16: str = "off"         # on | off — store the V-cycle
+    # fine-level twin of the windowed operator in bfloat16 (halved
+    # streaming traffic; CG's own matvec stays exact f32).  Off by
+    # default: on the spoke mesh's wildly-scaled entries the bf16
+    # smoother stalls CG at ~2e-2 where the f32 twin reaches the
+    # refinement-engagement threshold and closes the 1e-8 contract.
     # f32 fidelity contract (the reference solves in f64 end-to-end,
     # src/poisson_problem.cpp:27 PetscScalar): after the device solve,
     # measure the TRUE residual ||b - A x|| / ||b|| against a float64

@@ -301,6 +301,18 @@ def _geometry_np(coords: np.ndarray):
     return Jinv, np.abs(det)
 
 
+def detJ_np(coords: np.ndarray) -> np.ndarray:
+    """Host float64 |detJ| [C] alone — the RHS volume term only needs
+    the measure; materializing the full Jinv adjugate for it allocated
+    a [C, 3, 3] f64 (~190 MB at 2.6M cells) that was thrown away."""
+    E = coords[:, 1:4, :] - coords[:, 0:1, :]
+    J = np.swapaxes(E, 1, 2)
+    det = (J[:, 0, 0] * (J[:, 1, 1] * J[:, 2, 2] - J[:, 1, 2] * J[:, 2, 1])
+           + J[:, 0, 1] * (J[:, 1, 2] * J[:, 2, 0] - J[:, 1, 0] * J[:, 2, 2])
+           + J[:, 0, 2] * (J[:, 1, 0] * J[:, 2, 1] - J[:, 1, 1] * J[:, 2, 0]))
+    return np.abs(det)
+
+
 def metric_np(coords: np.ndarray) -> np.ndarray:
     """Host float64 per-cell metric |detJ| Jinv Jinv^T (numpy twin of
     kernels.metric_tensors; setup-phase geometry)."""
@@ -398,7 +410,7 @@ def assemble_operator(space, bc: Optional[DirichletBC], problem: str,
         vals = np.concatenate(vals_parts)
         indptr, indices, data = coo_to_csr(rows, cols, vals, N)
 
-    if bc is not None:
+    if bc is not None and bc.flat_dofs().size > 0:
         mask = bc.mask()
         rows_of = np.repeat(np.arange(N), np.diff(indptr))
         onrow = mask[rows_of]

@@ -70,23 +70,26 @@ class WindowedMatrix:
 
     blk_idx: jnp.ndarray            # [nb, W] int32 column-block ids
     vals: jnp.ndarray               # [nb, R, W*C]
-    n: int                          # logical size (aux)
+    n: int                          # logical row count (aux)
     C: int                          # column-block width (aux)
     ov_rows: Optional[jnp.ndarray] = None   # [M] int32
     ov_cols: Optional[jnp.ndarray] = None   # [M] int32
     ov_vals: Optional[jnp.ndarray] = None   # [M]
     perm: Optional[jnp.ndarray] = None      # [n] windowed <- original
     iperm: Optional[jnp.ndarray] = None     # [n] original <- windowed
+    ncols: Optional[int] = None     # logical column count (aux; None =
+    #                                 square, e.g. rectangular transfers)
 
     def tree_flatten(self):
         return ((self.blk_idx, self.vals, self.ov_rows, self.ov_cols,
-                 self.ov_vals, self.perm, self.iperm), (self.n, self.C))
+                 self.ov_vals, self.perm, self.iperm),
+                (self.n, self.C, self.ncols))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         blk_idx, vals, ovr, ovc, ovv, perm, iperm = children
-        n, C = aux
-        return cls(blk_idx, vals, n, C, ovr, ovc, ovv, perm, iperm)
+        n, C, ncols = aux
+        return cls(blk_idx, vals, n, C, ovr, ovc, ovv, perm, iperm, ncols)
 
     @property
     def nbytes_vals(self) -> int:
@@ -94,8 +97,9 @@ class WindowedMatrix:
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         nb, R, WC = self.vals.shape
-        nc = (self.n + self.C - 1) // self.C
-        x2 = jnp.zeros((nc * self.C,), x.dtype).at[:self.n].set(x)
+        ncols = self.n if self.ncols is None else self.ncols
+        nc = (ncols + self.C - 1) // self.C
+        x2 = jnp.zeros((nc * self.C,), x.dtype).at[:ncols].set(x)
         xg = x2.reshape(nc, self.C)[self.blk_idx].reshape(nb, WC)
         if self.vals.dtype == jnp.bfloat16:
             # approximate (preconditioner) twin: bf16 values halve the
@@ -135,7 +139,8 @@ class WindowedMatrix:
                  C: int = 128, w_cap=None,
                  budget_bytes: Optional[int] = None,
                  perm: Optional[np.ndarray] = None,
-                 device: bool = True) -> Optional["WindowedMatrix"]:
+                 device: bool = True,
+                 ncols: Optional[int] = None) -> Optional["WindowedMatrix"]:
         """Build from scalar CSR.  Returns None when the cost-model
         window form exceeds ``budget_bytes`` (caller falls back to ELL).
 
@@ -147,7 +152,7 @@ class WindowedMatrix:
         if n == 0:
             return None
         (_, W, nb, nc, b_of, r_of, w_of, c_of) = _plan_windows(
-            indptr, indices, R, C, itemsize, w_cap=w_cap)
+            indptr, indices, R, C, itemsize, w_cap=w_cap, ncols=ncols)
         if budget_bytes is not None and nb * R * W * C * itemsize > budget_bytes:
             # clamp to the widest window that fits the budget (extra
             # entries spill into the exact COO tail) instead of giving
@@ -157,7 +162,7 @@ class WindowedMatrix:
             if w_fit < 1:
                 return None
             (_, W, nb, nc, b_of, r_of, w_of, c_of) = _plan_windows(
-                indptr, indices, R, C, itemsize, w_cap=w_fit)
+                indptr, indices, R, C, itemsize, w_cap=w_fit, ncols=ncols)
             ov_frac = float((w_of >= W).mean())
             if ov_frac > 0.5:
                 # scalar overflow tail would dominate the apply: the
@@ -210,7 +215,7 @@ class WindowedMatrix:
                 ip = np.empty_like(perm)
                 ip[perm] = np.arange(n, dtype=perm.dtype)
                 ipermj = jnp.asarray(ip.astype(np.int32))
-            return cls(blk_idx_j, vals, n, C, *ovj, permj, ipermj)
+            return cls(blk_idx_j, vals, n, C, *ovj, permj, ipermj, ncols)
 
         vals = np.zeros((nb, R, WC), dtype=np.dtype(dtype))
         vals.reshape(-1)[flat] = vmain
@@ -222,11 +227,12 @@ class WindowedMatrix:
                    *(tuple(jnp.asarray(a) for a in ov)
                      if ov is not None else (None, None, None)),
                    jnp.asarray(perm.astype(np.int32)) if perm is not None else None,
-                   jnp.asarray(ipn.astype(np.int32)) if ipn is not None else None)
+                   jnp.asarray(ipn.astype(np.int32)) if ipn is not None else None,
+                   ncols)
 
 
 def _plan_windows(indptr: np.ndarray, indices: np.ndarray, R: int, C: int,
-                  itemsize: int, w_cap=None):
+                  itemsize: int, w_cap=None, ncols=None):
     """Per-nonzero window coordinates + cost-model window width.
 
     Returns (est_bytes, W, nb, nc, b_of, r_of, w_of, c_of) where for
@@ -239,7 +245,7 @@ def _plan_windows(indptr: np.ndarray, indices: np.ndarray, R: int, C: int,
     rows = np.repeat(np.arange(n, dtype=np.int64), nnz_row)
     cols = indices.astype(np.int64)
     nb = (n + R - 1) // R
-    nc = (n + C - 1) // C
+    nc = ((n if ncols is None else ncols) + C - 1) // C
     b_of = rows // R
 
     from tpufem import native

@@ -496,7 +496,9 @@ class SAAMG:
     def setup(cls, csr_tuple, bs: int, options, dtype=jnp.float32,
               near_nullspace: Optional[np.ndarray] = None,
               bc_mask: Optional[np.ndarray] = None,
-              fine_factored: bool = False) -> "SAAMG":
+              fine_factored: bool = False,
+              fine_store_a: bool = True,
+              fine_transfer_window: bool = False) -> "SAAMG":
         """``fine_factored=True`` stores the FINE level's smoothed
         transfers in factored form, P = (I - omega D^-1 A) P0: the
         vcycle applies the tentative P0 (one m-wide gather / scatter-add
@@ -505,8 +507,32 @@ class SAAMG:
         action is gather-free (the matrix-free stencil paths, where the
         per-iteration cost is dominated by the random gathers of the
         full smoothed P/PT: ~7 cycles/element on v5e).  The factored
-        apply is EXACT, so level-0 smoothing skips the top-k row filter
-        and the Galerkin product uses the same unfiltered P."""
+        apply is EXACT in exact arithmetic, so level-0 smoothing skips
+        the top-k row filter and the Galerkin product uses the same
+        unfiltered P.
+
+        PRECISION CAVEAT: at run time the factored P and P^T evaluate
+        (I - omega D^-1 A) with fresh f32 operator actions, so they are
+        adjoint only to f32 rounding — fine on well-scaled operators
+        (the cube stencils), but on the spoke mesh's wildly-scaled
+        entries (cell volumes span ~6 orders) the asymmetry makes the
+        V-cycle non-SPD and PCG diverges outright (measured rel 3.8
+        after 100 its vs 8e-7 with assembled transfers over the SAME
+        hierarchy).  Unstructured callers use assembled transfers with
+        ``fine_store_a=False`` instead.
+
+        ``fine_store_a=False`` (with assembled transfers) skips
+        building/uploading the fine level's own ELL operator when the
+        caller always passes ``fine_matvec`` to :meth:`vcycle` — at
+        500k that is ~60 MB through the TPU tunnel and seconds of host
+        padding for an operator never applied.
+
+        ``fine_transfer_window=True`` stores the fine level's assembled
+        P/PT as block-windowed operators (fem.window_op) instead of ELL
+        and renumbers aggregates along the fine (RCM) order so the
+        windows are narrow — the exact, symmetric, gather-free fast
+        path for unstructured meshes where the factored form's f32
+        asymmetry diverges (see the caveat above)."""
         indptr, indices, data = csr_tuple
         if data.ndim == 3:  # block CSR -> scalar CSR
             nb = indptr.shape[0] - 1
@@ -589,6 +615,18 @@ class SAAMG:
                 S2.eliminate_zeros()
                 pair = match_pairs(S2)
                 agg, nagg = pair[agg], int(pair.max()) + 1
+            if fine_transfer_window and len(levels) == 0:
+                # renumber aggregates by first fine-node appearance: in
+                # RCM fine order this clusters each row-block's coarse
+                # columns into a handful of 128-blocks, which is what
+                # makes the windowed transfer form narrow (W ~ 2) —
+                # a pure coarse-level permutation, algebra unchanged
+                first = np.full(nagg, np.iinfo(np.int64).max)
+                np.minimum.at(first, agg, np.arange(agg.shape[0]))
+                order = np.argsort(first, kind="stable")
+                remap = np.empty(nagg, dtype=agg.dtype)
+                remap[order] = np.arange(nagg, dtype=agg.dtype)
+                agg = remap[agg]
             t0 = _tick("aggregate", t0)
             P0, Bc = tentative_prolongator(agg, nagg, B, lvl_bs)
             if P0.shape[1] == 0 or P0.shape[1] >= Al.shape[0]:
@@ -633,8 +671,8 @@ class SAAMG:
             # milliseconds and ships 100x fewer bytes through the TPU
             # tunnel.  f32 solves store the level bf16 (see DenseMat)
             ddt = jnp.bfloat16 if np.dtype(dtype) == np.float32 else dtype
-            if factored:
-                # the factored fine level never applies its own assembled
+            if factored or (len(levels) == 0 and not fine_store_a):
+                # this fine level never applies its own assembled
                 # operator (vcycle requires fine_matvec); skip the ELL
                 # build + device upload entirely — at 500k that is ~60 MB
                 # through the TPU tunnel and seconds of host padding
@@ -661,11 +699,34 @@ class SAAMG:
                         ((damping / lmax) * dinv).astype(np.dtype(dtype))),
                 ))
             else:
+                P_dev = PT_dev = None
+                if fine_transfer_window and len(levels) == 0:
+                    # windowed (gather-free) transfer matvecs on the
+                    # fine level: P's ELL gather (~11 entries/row) costs
+                    # ~7 cycles/element on v5e — 2 fine-size gathers per
+                    # V-cycle dominated the spoke per-iteration wall
+                    # (~40 of 81 ms at 500k).  With aggregates
+                    # renumbered along the RCM fine order (above), the
+                    # windows are narrow and the dense-window sweep
+                    # streams at HBM rate.  WindowedMatrix duck-types
+                    # .matvec, so vcycle is unchanged.
+                    from tpufem.fem.window_op import WindowedMatrix
+                    P_dev = WindowedMatrix.from_csr(
+                        P.indptr, P.indices, P.data, dtype=dtype,
+                        ncols=P.shape[1],
+                        budget_bytes=1536 * 2**20)
+                    PT_dev = WindowedMatrix.from_csr(
+                        PT.indptr, PT.indices, PT.data, dtype=dtype,
+                        ncols=PT.shape[1],
+                        budget_bytes=512 * 2**20)
                 levels.append(_Level(
                     A=A_dev,
-                    P=csr_to_ell(P.indptr, P.indices, P.data, dtype=dtype),
-                    PT=csr_to_ell(PT.indptr, PT.indices, PT.data,
-                                  dtype=dtype),
+                    P=(P_dev if P_dev is not None else
+                       csr_to_ell(P.indptr, P.indices, P.data,
+                                  dtype=dtype)),
+                    PT=(PT_dev if PT_dev is not None else
+                        csr_to_ell(PT.indptr, PT.indices, PT.data,
+                                   dtype=dtype)),
                     dinv=jnp.asarray(dinv, dtype=dtype),
                     lmax=lmax,
                 ))
@@ -719,9 +780,9 @@ class SAAMG:
         else:
             if lv.A is None:
                 raise ValueError(
-                    "factored fine level stores no assembled operator; "
-                    "pass fine_matvec to vcycle (setup ran with "
-                    "fine_factored=True)")
+                    "fine level stores no assembled operator; pass "
+                    "fine_matvec to vcycle (setup ran with "
+                    "fine_factored=True or fine_store_a=False)")
             mv = lv.A.matvec
         smooth = chebyshev_smoother(mv, lv.dinv, lv.lmax,
                                     degree=self.smoother_degree)

@@ -164,7 +164,13 @@ class TetTopology:
         return self._cells
 
     def cell_coords(self) -> np.ndarray:
-        return self.vertices[self._cells]
+        # memoized: the [C, 4, 3] gather costs ~0.6 s at 2.6M cells and
+        # matrix + RHS assembly each want it (geometry is immutable)
+        cc = getattr(self, "_cell_coords_cache", None)
+        if cc is None:
+            cc = self.vertices[self._cells]
+            self._cell_coords_cache = cc
+        return cc
 
     def cell_edges(self) -> Tuple[np.ndarray, np.ndarray]:
         self._ensure_edges()

@@ -119,10 +119,10 @@ def assemble_elasticity_rhs_np(space: FunctionSpace) -> np.ndarray:
         b = np.stack([mass_op.apply_raw_np(f[:, r]) for r in range(3)],
                      axis=-1)
         return b.reshape(-1)
-    from tpufem.fem.assemble import _geometry_np
+    from tpufem.fem.assemble import detJ_np
     cd = space.cell_dofs
     coords = space.mesh.cell_coords()
-    _, adet = _geometry_np(coords)
+    adet = detJ_np(coords)
     M = space.element.mass_tensor
     b_cells = np.einsum("ij,cjr->cir", M, f[cd]) * adet[:, None, None]
     b = np.zeros((space.ndofs_scalar, 3))

@@ -189,10 +189,10 @@ def assemble_poisson_rhs_np(space: FunctionSpace) -> np.ndarray:
                                            dtype=jnp.float64, device=False)
         return mass_op.apply_raw_np(f) + _facet_rhs_structured_np(space)
 
-    from tpufem.fem.assemble import _geometry_np
+    from tpufem.fem.assemble import detJ_np
     cd = space.cell_dofs
     coords = mesh.cell_coords()
-    _, adet = _geometry_np(coords)
+    adet = detJ_np(coords)
     b_cells = (f[cd] @ el.mass_tensor.T) * adet[:, None]
     b = np.bincount(cd.reshape(-1), weights=b_cells.reshape(-1),
                     minlength=space.ndofs_scalar)
@@ -337,17 +337,26 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
                     # (fem.window_op — 2.4 ms vs 18.7 ms per 150k apply)
                     # as BOTH the CG operator and the V-cycle fine level;
                     # the hierarchy is built over the permuted matrix.
-                    # The V-cycle's ~6 fine applies per iteration use a
+                    # The V-cycle's fine applies per iteration use a
                     # bf16-valued twin (halved streaming traffic; a
                     # preconditioner only needs a fixed symmetric
                     # operator) while CG's own matvec stays exact f32
-                    # when the solve dtype is f32.
+                    # when the solve dtype is f32.  Transfers are
+                    # ASSEMBLED, not factored: the factored runtime
+                    # form is adjoint only to f32 rounding, and on this
+                    # mesh's wildly-scaled entries that asymmetry makes
+                    # PCG diverge (SAAMG.setup docstring; measured rel
+                    # 3.8 vs 8e-7 over the same hierarchy at 150k).
                     pc = SAAMG.setup(csr_w, bs=bc.bs, options=solver,
                                      dtype=dtype, near_nullspace=nns_w,
-                                     bc_mask=mask_w, fine_factored=True)
+                                     bc_mask=mask_w, fine_factored=False,
+                                     fine_store_a=False,
+                                     fine_transfer_window=True)
                     cache["A_op"] = wop
                     wop_pc = (wop.as_bf16()
-                              if np.dtype(dtype) == np.float32 else wop)
+                              if (np.dtype(dtype) == np.float32
+                                  and str(solver.get("amg_window_bf16"))
+                                  == "on") else wop)
                     # the twin rides in the pc pytree so it is a traced
                     # ARGUMENT of the compiled program (closure constants
                     # of this size overflow the tunnel compile payload)
