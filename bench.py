@@ -310,6 +310,35 @@ def main() -> None:
             })
             del prob2, x2
 
+    # ---- 2b. whole-CG VMEM-resident kernel vs split form (VERDICT r5 #6) --
+    # The resident Chronopoulos-Gear kernel (strip_op.cg_pallas) holds
+    # every Krylov state in VMEM for the entire solve; it fits up to
+    # ~150-200k P3 dofs (cg_resident_bytes <= 14 MB).  Measured verdict:
+    # the kernel LOSES to the split form (1.49 vs 1.88 Gdof/s at P3
+    # 150k) — XLA's fused dot/axpy scheduling beats the kernel's serial
+    # in-VMEM reductions at sizes that fit residency — so it is demoted
+    # to opt-in (-cg_kernel on); this row records both regimes.
+    with section("cgpoisson_p3_resident"):
+        budget_check()
+        ND_CK = 150_000
+        nxr, nyr, nzr, _ = compute_box_size_structured(ND_CK, True, 1, 3, 1)
+        for mode, key in (("off", "cgpoisson_p3_150k_split"),
+                          ("on", "cgpoisson_p3_150k_resident")):
+            cfgr = Config(problem_type="cgpoisson", ndofs=ND_CK,
+                          scaling_type="strong", dtype="float32",
+                          solver=SolverOptions())
+            cfgr.solver.extra["cg_kernel"] = mode
+            meshr = BoxTetMesh(nxr, nyr, nzr)
+            with contextlib.redirect_stdout(sys.stderr):
+                probr = cgpoisson.problem(meshr, 3, cfgr)
+                xr, itr = probr.solver_function(probr.u, probr.b)
+            gd = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
+            log(f"{key}: {gd:.3f} Gdof/s ({itr} its)")
+            extra.update({f"{key}_ndofs": probr.space.ndofs,
+                          f"{key}_iterations": itr,
+                          f"{key}_gdof_per_s": round(gd, 3)})
+            del probr, xr
+
     # ---- 3. matrix-free cgpoisson P1, 2M dofs (BASELINE.md config) --------
     with section("cgpoisson_p1_2m"):
         budget_check()

@@ -463,7 +463,11 @@ class StripOperator:
 
         def accum_apply(src_ref, out_ref, scale, mid_ref, dlt_ref):
             """out <- scale * out + A src (both [C, Zp, LW] VMEM refs);
-            the same mid + sparse-delta plan as _apply_pallas."""
+            the same mid + sparse-delta plan as _apply_pallas.  The
+            z-boundary delta repairs are read-modify-writes on single
+            out_ref rows with STATIC slices — ``value.at[...].add`` has
+            no Mosaic lowering (scatter-add), same constraint
+            _apply_pallas documents."""
             for co in range(C):
                 Zk = kdims[channels[co][0]][0]
                 kmid, kdlt = kplan[co]
@@ -471,13 +475,14 @@ class StripOperator:
                 for (mi, ci, dz, off) in kmid:
                     acc = acc + mid_ref[mi: mi + 1, :] * src_ref[
                         ci, 1 + dz: 1 + dz + Zk, G + off: G + off + TILE]
+                out_ref[co, 1:1 + Zk, G:G + TILE] = (
+                    scale * out_ref[co, 1:1 + Zk, G:G + TILE] + acc)
                 for (di, row, ci, dz, off) in kdlt:
                     upd = dlt_ref[di: di + 1, :] * src_ref[
                         ci, 1 + row + dz: 2 + row + dz,
                         G + off: G + off + TILE]
-                    acc = acc.at[row: row + 1, :].add(upd)
-                out_ref[co, 1:1 + Zk, G:G + TILE] = (
-                    scale * out_ref[co, 1:1 + Zk, G:G + TILE] + acc)
+                    out_ref[co, 1 + row: 2 + row, G:G + TILE] = (
+                        out_ref[co, 1 + row: 2 + row, G:G + TILE] + upd)
 
         def kernel(b_ref, mid_ref, dlt_ref, x_ref, it_ref, rr_ref,
                    p_ref, s_ref, r_ref):

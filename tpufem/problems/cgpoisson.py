@@ -230,6 +230,28 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         from tpufem.fem.flat_op import FlatOperator
         from tpufem.fem.strip_op import StripOperator
         if isinstance(op_, StripOperator):
+            use_ck = str(solver.extra.get("cg_kernel", "off"))
+            solver._consumed.add("cg_kernel")
+            if use_ck == "on" and op_.cg_kernel_ok \
+                    and jax.default_backend() == "tpu":
+                # WHOLE-CG VMEM-resident Pallas kernel — OPT-IN, demoted
+                # with data (VERDICT r5 #6): measured 1.49 Gdof/s vs the
+                # split form's 1.88 at P3 150k (the largest size whose
+                # residency fits the ~14 MB VMEM budget).  Zero HBM
+                # state streams per iteration cannot beat XLA's fused
+                # dot/axpy scheduling at sizes this small: the kernel's
+                # three full-state reductions and 732 single-row delta
+                # RMWs per iteration serialize on the VPU, and frozen
+                # post-convergence iterations (masked fori_loop) add
+                # dead work the split form's while_loop skips.  Kept as
+                # -cg_kernel on for the measured-regimes bench row.
+                def run_ck(o, x, r):
+                    r_f = o.to_strips(r)
+                    x_f, it, rel = o.cg_pallas(r_f, rtol, kmax)
+                    return o.from_strips(x_f, dtype=r.dtype), it, rel
+                cache["run"] = compile_aot(run_ck, op_, x0, rhs_)
+                cache["cg_kernel"] = True
+                return cache["run"]
             # channel-resident loop: strip<->dof relayout pays once per
             # solve; pad/guard lanes stay exactly zero through the
             # iteration so buffer dots equal dof dots (tested)
