@@ -77,11 +77,16 @@ class Certifier:
         r, rel = self.residual(x64)
         passes = 0
         extra_it = 0
-        while (solve_correction is not None and rel > self.rtol
-               and passes < max_passes):
+        while (solve_correction is not None and np.isfinite(rel)
+               and rel > self.rtol and passes < max_passes):
             d, it = solve_correction(r)
-            x64 = x64 + np.asarray(d, dtype=np.float64)
-            r, rel = self.residual(x64)
+            x64_new = x64 + np.asarray(d, dtype=np.float64)
+            r_new, rel_new = self.residual(x64_new)
+            if not np.isfinite(rel_new) or rel_new >= rel:
+                # a diverged/NaN correction must not destroy the best
+                # iterate: keep x64 and report its (finite) residual
+                break
+            x64, r, rel = x64_new, r_new, rel_new
             passes += 1
             extra_it += int(it)
         return CertifyResult(x64=x64, true_rel=rel, passes=passes,

@@ -481,10 +481,18 @@ def make_solver(A, csr, mesh, order: int, problem_name: str, bc, nns,
         zeros = jnp.zeros_like(rhs)
 
         def corr(r64):
-            r_dev = jnp.asarray(r64.astype(np.dtype(dtype)))
+            # unit-normalize the correction RHS: by the 2nd-3rd pass
+            # ||r|| can reach ~1e-17 * ||b|| and the f32 CG recurrence
+            # squares it (rr ~ 1e-50) — underflow to 0 makes beta = 0/0
+            # = NaN (observed as elasticity_10m true_rel = nan).  The
+            # solve is linear, so scale out and back.
+            s = float(np.linalg.norm(r64))
+            if not np.isfinite(s) or s == 0.0:
+                return np.zeros_like(r64), 0
+            r_dev = jnp.asarray((r64 / s).astype(np.dtype(dtype)))
             d, it_, _ = cache["run"](cache["A_op"], cache["pc"], zeros,
                                      r_dev)
-            return np.asarray(d), int(it_)
+            return np.asarray(d, dtype=np.float64) * s, int(it_)
 
         res = cert.certify(np.asarray(x), corr if max_passes else None,
                            max_passes=max_passes)
