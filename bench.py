@@ -333,10 +333,15 @@ def main() -> None:
                 probr = cgpoisson.problem(meshr, 3, cfgr)
                 xr, itr = probr.solver_function(probr.u, probr.b)
             gd = getattr(cgpoisson.problem, "_last_gdofs", 0.0)
+            engaged = getattr(cgpoisson.problem, "_last_cg_kernel", False)
+            if mode == "on" and not engaged:
+                log(f"{key}: resident kernel did NOT engage (residency/"
+                    "backend gate) — recording the fallback honestly")
             log(f"{key}: {gd:.3f} Gdof/s ({itr} its)")
             extra.update({f"{key}_ndofs": probr.space.ndofs,
                           f"{key}_iterations": itr,
-                          f"{key}_gdof_per_s": round(gd, 3)})
+                          f"{key}_gdof_per_s": round(gd, 3),
+                          f"{key}_kernel_engaged": bool(engaged)})
             del probr, xr
 
     # ---- 3. matrix-free cgpoisson P1, 2M dofs (BASELINE.md config) --------
@@ -526,8 +531,14 @@ def main() -> None:
                                   for k, v in split.items()
                                   if k != "smoother_degree"})
                 from tpufem.la.bramg import BrickAMG
-                for ph, v in getattr(BrickAMG, "last_phase_s", {}).items():
-                    extra[f"{key}_pc_{ph}_s"] = round(v, 3)
+                if isinstance(pcobj, BrickAMG):
+                    # class attr can hold a DIFFERENT section's setup
+                    # split (e.g. elasticity_10m) when this row fell
+                    # back to the generic SA path — only attribute it
+                    # when this row's PC is the brick
+                    for ph, v in getattr(BrickAMG, "last_phase_s",
+                                         {}).items():
+                        extra[f"{key}_pc_{ph}_s"] = round(v, 3)
             fidelity_keys(extra, key, prob4.solver_function)
             del prob4, x4
 

@@ -277,16 +277,23 @@ class DofScatter:
 # ---------------------------------------------------------------------------
 
 
-def _geometry_np(coords: np.ndarray):
-    """Host float64 (Jinv [C,3,3], |detJ| [C]) — assembly runs on the host
-    (setup phase).  Closed-form adjugate: numpy's batched inv/det loop
-    LAPACK per 3x3 matrix and is ~100x slower at millions of cells."""
+def _cell_jacobians(coords: np.ndarray):
+    """Per-cell Jacobian J [C,3,3] plus the first cofactor row and det
+    (shared by the full-adjugate and det-only geometry paths)."""
     E = coords[:, 1:4, :] - coords[:, 0:1, :]
     J = np.swapaxes(E, 1, 2)  # [C, a, l]
     c00 = J[:, 1, 1] * J[:, 2, 2] - J[:, 1, 2] * J[:, 2, 1]
     c01 = J[:, 1, 2] * J[:, 2, 0] - J[:, 1, 0] * J[:, 2, 2]
     c02 = J[:, 1, 0] * J[:, 2, 1] - J[:, 1, 1] * J[:, 2, 0]
     det = J[:, 0, 0] * c00 + J[:, 0, 1] * c01 + J[:, 0, 2] * c02
+    return J, c00, c01, c02, det
+
+
+def _geometry_np(coords: np.ndarray):
+    """Host float64 (Jinv [C,3,3], |detJ| [C]) — assembly runs on the host
+    (setup phase).  Closed-form adjugate: numpy's batched inv/det loop
+    LAPACK per 3x3 matrix and is ~100x slower at millions of cells."""
+    J, c00, c01, c02, det = _cell_jacobians(coords)
     adj = np.empty_like(J)
     adj[:, 0, 0] = c00
     adj[:, 0, 1] = J[:, 0, 2] * J[:, 2, 1] - J[:, 0, 1] * J[:, 2, 2]
@@ -305,12 +312,7 @@ def detJ_np(coords: np.ndarray) -> np.ndarray:
     """Host float64 |detJ| [C] alone — the RHS volume term only needs
     the measure; materializing the full Jinv adjugate for it allocated
     a [C, 3, 3] f64 (~190 MB at 2.6M cells) that was thrown away."""
-    E = coords[:, 1:4, :] - coords[:, 0:1, :]
-    J = np.swapaxes(E, 1, 2)
-    det = (J[:, 0, 0] * (J[:, 1, 1] * J[:, 2, 2] - J[:, 1, 2] * J[:, 2, 1])
-           + J[:, 0, 1] * (J[:, 1, 2] * J[:, 2, 0] - J[:, 1, 0] * J[:, 2, 2])
-           + J[:, 0, 2] * (J[:, 1, 0] * J[:, 2, 1] - J[:, 1, 1] * J[:, 2, 0]))
-    return np.abs(det)
+    return np.abs(_cell_jacobians(coords)[4])
 
 
 def metric_np(coords: np.ndarray) -> np.ndarray:

@@ -711,14 +711,21 @@ class SAAMG:
                     # streams at HBM rate.  WindowedMatrix duck-types
                     # .matvec, so vcycle is unchanged.
                     from tpufem.fem.window_op import WindowedMatrix
+                    # transfer windows share the caller-visible window
+                    # byte budget (-amg_window_budget_mb, default 4096):
+                    # 3/8 for P (fine rows x few coarse blocks), 1/8 for
+                    # PT — the fine operator's own window is budgeted by
+                    # its caller against the same knob
+                    wb = int(options.get("amg_window_budget_mb",
+                                         4096)) * 2**20
                     P_dev = WindowedMatrix.from_csr(
                         P.indptr, P.indices, P.data, dtype=dtype,
                         ncols=P.shape[1],
-                        budget_bytes=1536 * 2**20)
+                        budget_bytes=3 * wb // 8)
                     PT_dev = WindowedMatrix.from_csr(
                         PT.indptr, PT.indices, PT.data, dtype=dtype,
                         ncols=PT.shape[1],
-                        budget_bytes=512 * 2**20)
+                        budget_bytes=wb // 8)
                 levels.append(_Level(
                     A=A_dev,
                     P=(P_dev if P_dev is not None else

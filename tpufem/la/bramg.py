@@ -519,7 +519,8 @@ class BrickAMG:
         def timed(tag, fn, *args):
             key = ("bramg_prof", tag, n,
                    str(jax.tree_util.tree_structure(args)),
-                   tuple(x.shape for x in jax.tree_util.tree_leaves(args)))
+                   tuple((x.shape, str(x.dtype))
+                         for x in jax.tree_util.tree_leaves(args)))
             exe = compile_aot_cached(key, lambda: fn, *args)
             float(jnp.ravel(exe(*args))[-1])  # warm
             best = 1e30

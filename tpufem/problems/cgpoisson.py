@@ -314,6 +314,10 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
         print(f"CG matrix-free action processed: {gdofs} Gdof/s", flush=True)
         problem._last_gdofs = gdofs
         problem._last_solve_s = dt
+        # which loop ran: True only when the VMEM-resident whole-CG
+        # kernel was engaged (bench must not mislabel a split-form
+        # fallback as the resident regime)
+        problem._last_cg_kernel = bool(cache.get("cg_kernel", False))
         return x, int(it)
 
     return common.Problem(b=b, u=u, solver_function=solver_function,
