@@ -29,7 +29,13 @@ read:
 
 Measured on one v5e chip, spoke mesh 150k dofs (nnz 2.0M): 2.4 ms per
 apply vs 18.7 ms for the capped-K ELL gather form — with identical
-(bit-exact) results.  The price is memory: the windowed values are
+(bit-exact) results.  Row-block size R = 16 is the measured optimum at
+500k (R=8: 2197 MB, 8.68 ms; R=16: 2685 MB, 8.04 ms; R=32: 3174 MB,
+8.61 ms): smaller R saves vals bytes but pays ~1.6x the block-gather
+issues + a bigger overflow tail, larger R pays W growth.  A two-bucket
+(narrow/wide W) split was also evaluated and loses to the current
+single-W + COO-tail scheme (width p50 = 8 vs W = 11 cap: the wide tail
+is too heavy to bucket away).  The price is memory: the windowed values are
 ~700 MiB where the ELL form is ~12 MiB, so the form is gated by a byte
 budget and used only where it pays (the fine level; coarse AMG levels
 stay ELL/dense).

@@ -235,16 +235,20 @@ def problem(mesh, order: int, cfg: Config) -> common.Problem:
             if use_ck == "on" and op_.cg_kernel_ok \
                     and jax.default_backend() == "tpu":
                 # WHOLE-CG VMEM-resident Pallas kernel — OPT-IN, demoted
-                # with data (VERDICT r5 #6): measured 1.49 Gdof/s vs the
-                # split form's 1.88 at P3 150k (the largest size whose
-                # residency fits the ~14 MB VMEM budget).  Zero HBM
-                # state streams per iteration cannot beat XLA's fused
-                # dot/axpy scheduling at sizes this small: the kernel's
+                # with data (VERDICT r5 #6): at P3 150k (the largest
+                # size whose residency fits the ~14 MB VMEM budget) the
+                # two forms are within tunnel measurement noise of each
+                # other with no reliable winner (three paired runs:
+                # split 1.88/2.25/1.70 vs resident 1.49/1.73/2.06
+                # Gdof/s).  Zero HBM state streams per iteration buys
+                # nothing decisive at sizes this small: the kernel's
                 # three full-state reductions and 732 single-row delta
                 # RMWs per iteration serialize on the VPU, and frozen
                 # post-convergence iterations (masked fori_loop) add
-                # dead work the split form's while_loop skips.  Kept as
-                # -cg_kernel on for the measured-regimes bench row.
+                # dead work the split form's while_loop skips.  No
+                # demonstrated win -> the simpler split form stays the
+                # default; -cg_kernel on enables it and the bench row
+                # records both regimes every round.
                 def run_ck(o, x, r):
                     r_f = o.to_strips(r)
                     x_f, it, rel = o.cg_pallas(r_f, rtol, kmax)
